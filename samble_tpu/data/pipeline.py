@@ -1,0 +1,89 @@
+"""Host-side batching: shuffling, per-item point subsampling, fixed shapes.
+
+The reference uses torch ``DataLoader`` + ``DistributedSampler`` worker
+processes (train_modelnet.py:208-229); here batches are cut from the in-RAM
+arrays with numpy (the datasets are tiny), and all per-point math
+(augmentation, one-hot) runs on device.  Batch shapes are static: the last
+incomplete batch is padded and carries a validity mask so jit never
+recompiles (the reference instead lets torch emit a ragged final batch).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+
+
+class BatchLoader:
+    """Yields ``(points (B,n_sel,3), labels, [seg (B,n_sel)], valid (B,))``.
+
+    :param pcd: (S, N0, 3)
+    :param label: (S,)
+    :param seg: optional (S, N0) per-point labels
+    :param selected_points: points subsampled per cloud, without replacement
+        (utils/dataloader.py:172,479)
+    :param shuffle: reshuffle every epoch
+    :param drop_last: drop the ragged final batch (train) or pad it (eval)
+    """
+
+    def __init__(
+        self,
+        pcd: np.ndarray,
+        label: np.ndarray,
+        seg: Optional[np.ndarray] = None,
+        *,
+        batch_size: int,
+        selected_points: int,
+        shuffle: bool = True,
+        drop_last: bool = True,
+        seed: int = 0,
+    ):
+        self.pcd = pcd
+        self.label = label
+        self.seg = seg
+        self.batch_size = batch_size
+        self.selected_points = selected_points
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.rng = np.random.default_rng(seed)
+        self.epoch = 0
+
+    def __len__(self):
+        n = self.pcd.shape[0]
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self) -> Iterator[Tuple[np.ndarray, ...]]:
+        n, n0 = self.pcd.shape[0], self.pcd.shape[1]
+        order = np.arange(n)
+        if self.shuffle:
+            self.rng.shuffle(order)
+        self.epoch += 1
+        bs = self.batch_size
+        num_batches = len(self)
+        for b in range(num_batches):
+            idx = order[b * bs : (b + 1) * bs]
+            valid = np.ones(bs, bool)
+            if idx.shape[0] < bs:  # pad the ragged tail (eval only)
+                pad = np.full(bs - idx.shape[0], idx[-1])
+                valid[idx.shape[0]:] = False
+                idx = np.concatenate([idx, pad])
+            if self.selected_points < n0:
+                sel = np.stack(
+                    [
+                        self.rng.choice(n0, self.selected_points, replace=False)
+                        for _ in range(bs)
+                    ]
+                )
+            else:
+                sel = np.broadcast_to(np.arange(n0), (bs, n0))
+            points = np.take_along_axis(
+                self.pcd[idx], sel[:, :, None], axis=1
+            ).astype(np.float32)
+            out = [points, self.label[idx]]
+            if self.seg is not None:
+                out.append(np.take_along_axis(self.seg[idx], sel, axis=1))
+            out.append(valid)
+            yield tuple(out)

@@ -1,0 +1,164 @@
+"""ShapeNet part-segmentation model (U-Net over point sets).
+
+Reference: models/seg_model.py — ``FeatureLearningBlock`` (:7-133) and
+``ShapeNetModel`` (:136-224).  Forward structure (configs/seg.yaml):
+
+  (B, N, 3) → [STN align] → EdgeConv×2 → N2P#0
+            → encoder: [DownSampleToken → N2P#i]×2       (2048→1024→512)
+            → decoder: [UpSampleInterpolation → N2P#j]×2 (512→1024→2048)
+            → Conv1024 → global max‖avg (2048) ‖ 64-d category embedding
+            → broadcast-concat per point → 1024 → 256 → num_parts
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from samble_tpu import ops
+from samble_tpu.nn.common import Conv1x1, PointBatchNorm, leaky_relu
+from samble_tpu.nn.embedding import EdgeConv, STN
+from samble_tpu.models.factories import (
+    make_attention_layer,
+    make_downsample,
+    make_upsample,
+)
+
+
+class SegFeatureBlock(nn.Module):
+    """Encoder-decoder with skip stacks of features/xyz/indices.
+
+    Reference: models/seg_model.py:7-133.
+    """
+
+    cfg: Any  # feature_learning_block config node
+    train: bool = True
+
+    @nn.compact
+    def __call__(self, x: jax.Array):
+        blk = self.cfg
+        x_xyz = x[..., :3]  # (B, N, 3)
+
+        emb_outs = []
+        for layer in range(len(blk.embedding.K)):
+            x = EdgeConv(
+                k=blk.embedding.K[layer],
+                group_type=blk.embedding.group_type[layer],
+                conv1_out=blk.embedding.conv1_out[layer],
+                conv2_out=blk.embedding.conv2_out[layer],
+                normal_channel=blk.embedding.get("normal_channel", False),
+                train=self.train,
+            )(x)
+            emb_outs.append(x)
+        x = jnp.concatenate(emb_outs, axis=-1)
+        x = make_attention_layer(blk.attention, 0, self.train)(x)
+
+        num_ds = len(blk.downsample.M)
+        num_att = len(blk.attention.K)
+        split = (num_att - 1) // 2
+
+        x_stack = [x]
+        xyz_stack = [x_xyz]
+        idx_stack = []
+        drop_stack = []
+        aux_list = []
+        for i in range(num_ds):
+            x, idx, dropped, aux = make_downsample(blk.downsample, i, self.train)(
+                x, x_xyz
+            )
+            x = make_attention_layer(blk.attention, i + 1, self.train)(x)
+            x_xyz = ops.gather_by_idx(x_xyz, idx)
+            x_stack.append(x)
+            xyz_stack.append(x_xyz)
+            idx_stack.append(idx)
+            drop_stack.append(dropped)
+            aux_list.append(aux)
+
+        # decoder (models/seg_model.py:118-132): consume the stacks in
+        # reverse, upsampling back to full resolution.
+        sel_x = x_stack.pop()
+        sel_idx = idx_stack.pop()
+        sel_xyz = xyz_stack.pop()
+        sel_drop = drop_stack.pop()
+        for j in range(num_ds):
+            pcd_up = x_stack.pop()
+            # After the bottleneck pop, xyz_stack holds [xyz0 .. xyz_{nd-1}];
+            # decoder level j upsamples to the resolution of xyz_{nd-1-j}
+            # (models/seg_model.py:123-126).
+            pcd_up_xyz = xyz_stack[num_ds - 1 - j]
+            us = make_upsample(blk.upsample, j, self.train)
+            kwargs = dict(
+                pcd_up=pcd_up,
+                points_select=sel_x,
+                idx_select=sel_idx,
+                pcd_up_xyz=pcd_up_xyz,
+                points_select_xyz=sel_xyz,
+            )
+            if sel_drop is not None:
+                kwargs["points_drop"], kwargs["idx_drop"] = sel_drop
+            x = us(**kwargs)
+            x = make_attention_layer(blk.attention, j + 1 + split, self.train)(x)
+            if j < num_ds - 1:
+                sel_x = x
+                sel_idx = idx_stack.pop()
+                sel_xyz = xyz_stack[num_ds - 1 - j]
+                sel_drop = drop_stack.pop()
+        return x, aux_list
+
+
+class SegModel(nn.Module):
+    """ShapeNet part segmenter (reference ``ShapeNetModel``).
+
+    Returns ``(logits (B, N, num_parts), aux)``; ``aux['trans']`` holds the
+    STN matrix for the orthogonality regularizer when STN is enabled.
+    """
+
+    cfg: Any  # full config
+    num_parts: int = 50
+    num_categories: int = 16
+    train: bool = True
+
+    @nn.compact
+    def __call__(self, x: jax.Array, category_onehot: jax.Array):
+        # x: (B, N, 3); category_onehot: (B, num_categories)
+        blk = self.cfg.feature_learning_block
+        b, n, _ = x.shape
+        det = not self.train
+
+        trans = None
+        if blk.get("STN", False):
+            grouped, _ = ops.group(x, 32, "center_diff")  # (B, N, 32, 6)
+            trans = STN(train=self.train)(grouped)  # (B, 3, 3)
+            x = jnp.einsum("bnc,bcd->bnd", x, trans)
+
+        x_tmp, aux_list = SegFeatureBlock(cfg=blk, train=self.train)(x)
+        # x_tmp: (B, N, C)
+
+        h = Conv1x1(1024)(x_tmp)
+        h = PointBatchNorm(use_running_average=det)(h)
+        h = leaky_relu(h)  # (B, N, 1024)
+        h_max = jnp.max(h, axis=1)  # (B, 1024)
+        h_avg = jnp.mean(h, axis=1)  # (B, 1024)
+        global_feat = jnp.concatenate([h_max, h_avg], axis=-1)  # (B, 2048)
+
+        cat = Conv1x1(64)(category_onehot)
+        cat = PointBatchNorm(use_running_average=det)(cat)
+        cat = leaky_relu(cat)  # (B, 64)
+
+        g = jnp.concatenate([global_feat, cat], axis=-1)  # (B, 2112)
+        g = jnp.broadcast_to(g[:, None, :], (b, n, g.shape[-1]))
+        h = jnp.concatenate([g, x_tmp], axis=-1)  # (B, N, 2112 + C)
+
+        h = Conv1x1(1024)(h)
+        h = PointBatchNorm(use_running_average=det)(h)
+        h = leaky_relu(h)
+        h = nn.Dropout(0.5, deterministic=det)(h)
+        h = Conv1x1(256)(h)
+        h = PointBatchNorm(use_running_average=det)(h)
+        h = leaky_relu(h)
+        h = nn.Dropout(0.5, deterministic=det)(h)
+        logits = Conv1x1(self.num_parts)(h)  # (B, N, num_parts)
+        return logits, {"downsample": aux_list, "trans": trans}

@@ -1,0 +1,122 @@
+"""Feature-learning attention layers.
+
+Reference: models/attention.py — ``Neighbor2PointAttention`` (:130-250) and
+``Point2PointAttention`` (:253-355).  The reference's ``L2Attention``
+(:7-127) is unusable as shipped (its ``__init__`` calls
+``super(Neighbor2PointAttention, self)`` inside its own class body) and is
+otherwise byte-identical to Neighbor2PointAttention; it is deliberately not
+reproduced.
+"""
+
+from __future__ import annotations
+
+import math
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from samble_tpu import ops
+from samble_tpu.nn.common import Conv1x1, PointBatchNorm, leaky_relu, split_heads, merge_heads
+
+
+class Neighbor2PointAttention(nn.Module):
+    """Per-point attention over the K kNN neighbors, with residual + FFN.
+
+    Reference: models/attention.py:130-250.  Q comes from the point itself,
+    K/V from the grouped neighborhood (group_type 'diff' for scalar_dot).
+    """
+
+    k: int
+    group_type: str
+    num_heads: int
+    attention_mode: str  # 'scalar_dot' | 'vector_sub'
+    asm: str  # 'dot' | 'dot-sub'
+    q_out: int
+    k_out: int
+    v_out: int
+    ff_hidden: int
+    ff_out: int
+    train: bool = True
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        # x: (B, N, C)
+        neighbors, _ = ops.group(x, self.k, self.group_type)  # (B, N, K, C)
+        q = split_heads(Conv1x1(self.q_out)(x), self.num_heads)  # (B, N, H, D)
+        kk = split_heads(Conv1x1(self.k_out)(neighbors), self.num_heads)  # (B,N,K,H,D)
+        v = split_heads(Conv1x1(self.v_out)(neighbors), self.num_heads)
+
+        d = q.shape[-1]
+        scale = 1.0 / math.sqrt(d)
+        if self.attention_mode == "scalar_dot":
+            if self.asm == "dot":
+                energy = jnp.einsum("bnhd,bnkhd->bnhk", q, kk)
+            elif self.asm == "dot-sub":
+                # Q·(Q−K) (models/attention.py:240-241)
+                energy = jnp.einsum("bnhd,bnkhd->bnhk", q, q[:, :, None] - kk)
+            else:
+                raise ValueError(f"asm must be dot or dot-sub, got {self.asm}")
+            attn = jax.nn.softmax(energy * scale, axis=-1)  # (B, N, H, K)
+            out = jnp.einsum("bnhk,bnkhd->bnhd", attn, v)
+        elif self.attention_mode == "vector_sub":
+            energy = q[:, :, None] - kk  # (B, N, K, H, D)
+            # softmax over the *channel* axis (reference quirk,
+            # models/attention.py:219-220: softmax(dim=-1) on (...,K,D))
+            attn = jax.nn.softmax(energy * scale, axis=-1)
+            out = jnp.sum(attn * v, axis=2)  # (B, N, H, D)
+        else:
+            raise ValueError(
+                f"attention_mode must be scalar_dot or vector_sub, got {self.attention_mode}"
+            )
+
+        out = merge_heads(out)  # (B, N, v_out)
+        x = PointBatchNorm(use_running_average=not self.train)(x + out)
+        ff = Conv1x1(self.ff_hidden)(x)
+        ff = leaky_relu(ff)
+        ff = Conv1x1(self.ff_out)(ff)
+        return PointBatchNorm(use_running_average=not self.train)(x + ff)
+
+
+class Point2PointAttention(nn.Module):
+    """Full global N×N self-attention with residual + FFN.
+
+    Reference: models/attention.py:253-355.
+    """
+
+    num_heads: int
+    asm: str  # 'dot' | 'l2' | 'l2+'
+    q_out: int
+    k_out: int
+    v_out: int
+    ff_hidden: int
+    ff_out: int
+    train: bool = True
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        # x: (B, N, C)
+        q = split_heads(Conv1x1(self.q_out)(x), self.num_heads)  # (B, N, H, D)
+        kk = split_heads(Conv1x1(self.k_out)(x), self.num_heads)
+        v = split_heads(Conv1x1(self.v_out)(x), self.num_heads)
+
+        qh = jnp.swapaxes(q, 1, 2)  # (B, H, N, D)
+        kh = jnp.swapaxes(kk, 1, 2)
+        if self.asm == "dot":
+            energy = jnp.einsum("bhnd,bhmd->bhnm", qh, kh)
+        elif self.asm == "l2":
+            energy = -ops.l2_global(qh, kh)
+        elif self.asm == "l2+":
+            energy = ops.l2_global(qh, kh)
+        else:
+            raise ValueError(f"asm must be dot, l2 or l2+, got {self.asm}")
+        scale = 1.0 / math.sqrt(q.shape[-1])
+        attn = jax.nn.softmax(energy * scale, axis=-1)  # (B, H, N, N)
+        out = jnp.einsum("bhnm,bhmd->bnhd", attn, jnp.swapaxes(v, 1, 2))
+        out = merge_heads(out)
+
+        x = PointBatchNorm(use_running_average=not self.train)(x + out)
+        ff = Conv1x1(self.ff_hidden)(x)
+        ff = leaky_relu(ff)
+        ff = Conv1x1(self.ff_out)(ff)
+        return PointBatchNorm(use_running_average=not self.train)(x + ff)

@@ -1,0 +1,85 @@
+"""Shared building blocks: BatchNorm, activations, 1×1 convolutions.
+
+The reference's ``nn.Conv1d/Conv2d(kernel_size=1)`` are plain per-point
+linear maps; channels-last they become ``nn.Dense`` — a single MXU matmul
+with the (B·N[·K]) axis as rows.  BatchNorm statistics are computed over
+every axis except channels, matching ``nn.BatchNorm1d/2d``; under ``jit``
+with a batch-sharded mesh the moments are global across devices, which *is*
+SyncBatchNorm (reference: ``convert_sync_batchnorm``, train_modelnet.py:245).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+def leaky_relu(x: jax.Array) -> jax.Array:
+    """LeakyReLU(negative_slope=0.2), the reference's default activation."""
+    return nn.leaky_relu(x, negative_slope=0.2)
+
+
+class PointBatchNorm(nn.Module):
+    """BatchNorm over all non-channel axes (torch BN1d/BN2d semantics).
+
+    Torch parity: momentum 0.1 (torch convention; flax uses 1−that),
+    eps 1e-5, affine.  Running statistics live in the ``batch_stats``
+    collection.  Deviation (documented): normalization uses the biased batch
+    variance both for the forward pass and the running estimate, whereas
+    torch stores the unbiased variance in the running buffer; the effect is
+    O(1/(B·N)) on eval outputs.
+    """
+
+    use_running_average: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        return nn.BatchNorm(
+            use_running_average=self.use_running_average,
+            momentum=0.9,
+            epsilon=1e-5,
+            dtype=jnp.float32,
+        )(x)
+
+
+class Conv1x1(nn.Module):
+    """1×1 convolution == Dense over the channel (last) axis."""
+
+    features: int
+    use_bias: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        return nn.Dense(self.features, use_bias=self.use_bias)(x)
+
+
+class ConvBNLeaky(nn.Module):
+    """Conv1x1 → BatchNorm → LeakyReLU(0.2) block (the reference's
+    ``nn.Sequential(Conv, BN, LeakyReLU)`` pattern)."""
+
+    features: int
+    train: bool = True
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        x = Conv1x1(self.features)(x)
+        x = PointBatchNorm(use_running_average=not self.train)(x)
+        return leaky_relu(x)
+
+
+def split_heads(x: jax.Array, num_heads: int) -> jax.Array:
+    """(…, C) → (…, H, D) with head h owning channels [h·D, (h+1)·D).
+
+    Matches the reference's channel-major head split
+    (``view(B, heads, depth, N)``, models/attention.py:332-336).
+    """
+    return x.reshape(*x.shape[:-1], num_heads, x.shape[-1] // num_heads)
+
+
+def merge_heads(x: jax.Array) -> jax.Array:
+    """(…, H, D) → (…, C)."""
+    return x.reshape(*x.shape[:-2], x.shape[-2] * x.shape[-1])

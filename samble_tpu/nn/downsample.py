@@ -1,0 +1,489 @@
+"""Attention-scored point-cloud downsamplers (SAMBLE + APES family).
+
+Reference: models/downsample.py
+  * ``DownSampleToken``  (:15-378)   — SAMBLE: learnable bin tokens, dynamic
+    score bins, stochastic per-bin budget sampling.  Shipped default
+    (``ds_which: token``, configs/cls.yaml:120).
+  * ``DownSampleCarve``  (:381-815)  — APES-v2 deterministic top-M by sparse
+    attention score.  NOTE: the reference forward calls ``self.bin_conv``
+    whose ``bin_conv1/2`` layers are never constructed (models/downsample.py:458)
+    — it crashes as shipped.  This rebuild omits that stale call so the
+    module actually runs; its ``bin_prob`` output is therefore None.
+  * ``DownSampleLocal``  (:818-1229) — APES local: kNN-neighborhood attention.
+  * ``DownSampleGlobal`` (:1232-1405) — APES global: plain N×N attention.
+
+All four return ``(x_ds, idx, dropped, aux)`` where ``dropped`` is
+``(x_dropped, idx_dropped)`` or ``None`` and ``aux`` carries introspection
+tensors (scores, bin probabilities, …) that the reference exposed as module
+attributes for eval/visualization (models/downsample.py:258-262, 346-362).
+
+Gradient structure (what makes the TPU design fast): the attention *score*
+only feeds bin masks and integer index selection — never differentiable
+outputs — so it is computed under ``stop_gradient``.  Gradients flow through
+(a) the gathered attention rows @ V producing ``x_ds`` and (b) the thin
+(B,1,N,num_bins) bin-token logits used for bin weights and the orthogonality
+loss.  The fat N×N score reduction can therefore run as a forward-only fused
+Pallas kernel with no custom VJP.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from samble_tpu import ops
+from samble_tpu.ops.attention import attention_point_score
+from samble_tpu.nn.common import Conv1x1, PointBatchNorm, leaky_relu, split_heads, merge_heads
+
+
+def _res_block(module, x, x_ds, idx, ff: bool, train: bool):
+    """Residual link from gathered input features into the downsampled output.
+
+    Reference: models/downsample.py:292-298.  Deviation (documented): the
+    reference's ``torch.gather(x, -1, idx)`` with a (B,1,M) index gathers
+    only channel 0 and broadcasts it over all channels; shipped configs have
+    ``res.enable: [false, false]`` so the path is dead there.  We gather the
+    full feature vector (the evident intent).
+    """
+    x_tmp = ops.gather_by_idx(x, idx)  # (B, M, C)
+    x_res = PointBatchNorm(use_running_average=not train)(x_ds + x_tmp)
+    if ff:
+        h = Conv1x1(512)(x_res)
+        h = leaky_relu(h)
+        h = Conv1x1(x_res.shape[-1])(h)
+        x_res = PointBatchNorm(use_running_average=not train)(x_ds + h)
+    return x_res
+
+
+def _boltzmann_select(key, score, m, norm_mode, temperature):
+    """Stochastic top-M via Gumbel perturbation — statistically equivalent to
+    the reference's per-row ``torch.multinomial(softmax(norm(score)/T), M,
+    replacement=False)`` loop (models/downsample.py:795-815)."""
+    s = ops.norm_range(score, axis=-1, n_min=0.0, n_max=1.0, mode=norm_mode)
+    logits = s / temperature
+    pert = logits + jax.random.gumbel(key, logits.shape, dtype=logits.dtype)
+    _, idx = jax.lax.top_k(pert, m)
+    return idx.astype(jnp.int32)
+
+
+class DownSampleToken(nn.Module):
+    """SAMBLE sampler: bin tokens + sparse attention score + learnable bins.
+
+    State: ``bin_stats/boundaries`` holds the ``num_bins - 1`` inner score
+    boundaries; ``bin_stats/initialized`` tracks whether the first batch has
+    seeded them (the reference seeds from the first forward's quantiles,
+    utils/ops.py:214-233, then EMA-updates with ``momentum_update_factor``).
+    Evaluation freezes the boundaries (the reference converts dynamic →
+    static at test time, test_modelnet.py:161-175).
+    """
+
+    m: int  # points to keep
+    k: int  # kNN degree for the sparse score mask
+    num_heads: int  # must be 1 (check_config.py:158)
+    asm: str  # 'dot' | 'l2'
+    idx_mode: str
+    num_bins: int
+    q_out: int
+    k_out: int
+    v_out: int
+    token_mode: str = "multi_token"  # 'multi_token' | 'one_token'
+    sample_mode: str = "random"  # 'topk' | 'uniform' | 'random'
+    boltzmann_t: Any = 0.1
+    relu_mean_order: str = "mean_relu"
+    dynamic_boundaries: bool = True
+    momentum: float = 0.99
+    static_boundaries: Optional[Sequence[float]] = None
+    res: bool = False
+    ff: bool = False
+    train: bool = True
+
+    @nn.compact
+    def __call__(self, x: jax.Array, x_xyz: Optional[jax.Array] = None):
+        assert self.num_heads == 1, "downsample modules require num_heads == 1"
+        b, n, c = x.shape
+        n_tok = self.num_bins if self.token_mode == "multi_token" else 1
+
+        # learnable bin tokens, appended to the key/value point set
+        # (models/downsample.py:61-71,116-118)
+        tokens = self.param(
+            "bin_tokens",
+            nn.initializers.normal(stddev=1.0 / math.sqrt(c)),
+            (n_tok, c),
+        )
+        x_and_token = jnp.concatenate(
+            [x, jnp.broadcast_to(tokens[None], (b, n_tok, c))], axis=1
+        )  # (B, N + n_tok, C)
+
+        d = self.q_out // self.num_heads
+        scale = 1.0 / math.sqrt(d)
+        k_proj = Conv1x1(self.k_out)(x_and_token)  # (B, N+nt, C)
+        v_proj = Conv1x1(self.v_out)(x_and_token)
+        if self.asm == "dot":
+            q_proj = Conv1x1(self.q_out)(x)  # (B, N, C)
+            energy = jnp.einsum("bnc,bmc->bnm", q_proj, k_proj)
+        elif self.asm == "l2":
+            q_proj = Conv1x1(self.q_out)(x_and_token)
+            energy = -ops.l2_global(q_proj[:, None], k_proj[:, None])[:, 0, :n, :]
+        else:
+            raise NotImplementedError(f"asm: {self.asm}")
+        pre = energy * scale  # (B, N, N + n_tok) pre-softmax
+        attn = jax.nn.softmax(pre, axis=-1)
+        attention_points = attn[..., :n]  # (B, N, N)
+        bins_pre = pre[..., n:]  # (B, N, n_tok) — differentiable, thin
+
+        # --- attention point score (stop-grad; Pallas-fusable) -------------
+        mask = ops.neighbor_mask(x, self.k)  # (B, N, N)
+        score = jax.lax.stop_gradient(
+            attention_point_score(
+                attention_points[:, None], mask, self.idx_mode, self.k
+            )
+        )  # (B, 1, N)
+
+        # --- bin partition with EMA boundary state -------------------------
+        if self.dynamic_boundaries:
+            bounds_var = self.variable(
+                "bin_stats",
+                "boundaries",
+                lambda: jnp.zeros((self.num_bins - 1,), jnp.float32),
+            )
+            init_var = self.variable(
+                "bin_stats", "initialized", lambda: jnp.zeros((), jnp.bool_)
+            )
+            scores_z = ops.zscore(score, axis=2)
+            batch_bounds = ops.compute_bin_boundaries_from_scores(
+                scores_z, self.num_bins
+            )
+            ema = self.momentum * bounds_var.value + (1 - self.momentum) * batch_bounds
+            new_bounds = jnp.where(init_var.value, ema, batch_bounds)
+            if self.train:
+                boundaries = new_bounds
+                bounds_var.value = new_bounds
+                init_var.value = jnp.ones((), jnp.bool_)
+            else:
+                boundaries = bounds_var.value
+            _, bin_mask = ops.bin_partition(
+                score, boundaries, self.num_bins,
+                dynamic=False, momentum=self.momentum, update=False,
+            )
+        else:
+            assert self.static_boundaries is not None, (
+                "static bin_boundaries required when dynamic_boundaries is off"
+            )
+            boundaries = jnp.asarray(self.static_boundaries, jnp.float32)
+            _, bin_mask = ops.bin_partition(
+                score, boundaries, self.num_bins,
+                dynamic=False, momentum=self.momentum, update=False,
+            )
+        # bin_mask: (B, 1, N, num_bins)
+
+        # --- per-bin budgets ------------------------------------------------
+        bin_weights, bin_prob = ops.bin_weights_calculation(
+            bins_pre[:, None], bin_mask, self.relu_mean_order
+        )  # (B, num_bins) each
+        max_num_points = jnp.sum(bin_mask[:, 0], axis=1).astype(jnp.int32)
+        k_counts = ops.calculate_num_points_to_choose(
+            bin_weights, max_num_points, self.m
+        )
+
+        # --- index generation ----------------------------------------------
+        if self.sample_mode == "topk":
+            key = jax.random.key(0)  # unused
+        else:
+            key = self.make_rng("sampling")
+        idx = ops.generate_downsampled_index(
+            key, self.m, score, bin_mask, k_counts, self.sample_mode,
+            self.boltzmann_t,
+        )  # (B, M)
+
+        # --- gathered attention rows @ V ------------------------------------
+        attn_down = ops.gather_by_idx(attn, idx)  # (B, M, N + n_tok)
+        x_ds = jnp.einsum("bmn,bnc->bmc", attn_down, v_proj)  # (B, M, C)
+
+        if self.res:
+            x_ds = _res_block(self, x, x_ds, idx, self.ff, self.train)
+
+        aux = {
+            "attention_point_score": score,
+            "bin_prob": bin_prob,
+            "bin_weights": bin_weights,
+            "attention_bins_beforesoftmax": bins_pre,
+            "k_point_to_choose": k_counts,
+            "bin_points_mask": bin_mask,
+            "idx": idx,
+        }
+        return x_ds, idx, None, aux
+
+
+class DownSampleCarve(nn.Module):
+    """APES-v2 'global_carve': deterministic top-M by (sparse) attention score.
+
+    Reference: models/downsample.py:381-815 (minus the broken ``bin_conv``
+    call, see module docstring).  Optional xyz positional encoding modes
+    III/IV and Boltzmann stochastic selection.
+    """
+
+    m: int
+    k: int
+    num_heads: int
+    asm: str  # 'dot' | 'l2' | 'l2+'
+    idx_mode: str
+    q_out: int
+    k_out: int
+    v_out: int
+    pe: bool = False
+    pe_mode: str = "III"
+    boltzmann_enable: bool = False
+    boltzmann_t: float = 1.0
+    boltzmann_norm_mode: str = "minmax"
+    res: bool = False
+    ff: bool = False
+    train: bool = True
+
+    @nn.compact
+    def __call__(self, x: jax.Array, x_xyz: Optional[jax.Array] = None):
+        assert self.num_heads == 1, "downsample modules require num_heads == 1"
+        b, n, c = x.shape
+        d = self.q_out // self.num_heads
+        scale = 1.0 / math.sqrt(d)
+
+        q = Conv1x1(self.q_out)(x)
+        kk = Conv1x1(self.k_out)(x)
+        v = Conv1x1(self.v_out)(x)
+
+        if self.asm == "dot":
+            energy = jnp.einsum("bnc,bmc->bnm", q, kk)
+        elif self.asm == "l2":
+            energy = -ops.l2_global(q[:, None], kk[:, None])[:, 0]
+        elif self.asm == "l2+":
+            energy = ops.l2_global(q[:, None], kk[:, None])[:, 0]
+        else:
+            raise ValueError(f"asm: {self.asm}")
+
+        if self.pe:
+            assert x_xyz is not None, "positional encoding requires xyz input"
+            q_pe = Conv1x1(self.q_out)(x_xyz)
+            v_pe = Conv1x1(self.v_out)(x_xyz)
+            energy = energy + jnp.einsum("bnc,bmc->bnm", q, q_pe)
+            if self.pe_mode == "IV":
+                k_pe = Conv1x1(self.k_out)(x_xyz)
+                energy = energy + jnp.einsum("bnc,bmc->bnm", kk, k_pe)
+            elif self.pe_mode != "III":
+                raise ValueError(f"pe_mode must be III or IV, got {self.pe_mode}")
+            v = v + v_pe
+
+        attn = jax.nn.softmax(energy * scale, axis=-1)  # (B, N, N)
+
+        mask = ops.neighbor_mask(x, self.k)
+        score = jax.lax.stop_gradient(
+            attention_point_score(attn[:, None], mask, self.idx_mode, self.k)
+        )[:, 0]  # (B, N)
+
+        if self.boltzmann_enable:
+            idx = _boltzmann_select(
+                self.make_rng("sampling"), score, self.m,
+                self.boltzmann_norm_mode, self.boltzmann_t,
+            )
+        else:
+            _, idx = jax.lax.top_k(score, self.m)
+            idx = idx.astype(jnp.int32)
+
+        attn_down = ops.gather_by_idx(attn, idx)  # (B, M, N)
+        x_ds = jnp.einsum("bmn,bnc->bmc", attn_down, v)
+
+        if self.res:
+            x_ds = _res_block(self, x, x_ds, idx, self.ff, self.train)
+
+        aux = {"attention_point_score": score[:, None], "idx": idx, "bin_prob": None}
+        return x_ds, idx, None, aux
+
+
+class DownSampleLocal(nn.Module):
+    """APES local: attention over each point's kNN neighborhood.
+
+    Reference: models/downsample.py:818-1229.  Scores are the local std or
+    sparse-map statistics computed here with segment-sums instead of the
+    reference's dense (B,H,N,N) scatter (models/downsample.py:1012-1022).
+    Returns the dropped complement as well.
+    """
+
+    m: int
+    num_heads: int
+    asm: str  # 'dot' | 'dot-neighbor' | 'dot-sub' | 'l2' | 'l2+'
+    idx_mode: str
+    q_out: int
+    k_out: int
+    v_out: int
+    k: int = 32  # fixed in the reference (models/downsample.py:836)
+    res: bool = False
+    ff: bool = False
+    boltzmann_enable: bool = False
+    boltzmann_t: float = 1.0
+    boltzmann_norm_mode: str = "minmax"
+    train: bool = True
+
+    @nn.compact
+    def __call__(self, x: jax.Array, x_xyz: Optional[jax.Array] = None):
+        b, n, c = x.shape
+        group_type = "diff" if self.asm == "dot" else "neighbor"
+        neighbors, nb_idx = ops.group(x, self.k, group_type)  # (B, N, K, C)
+
+        q = split_heads(Conv1x1(self.q_out)(x), self.num_heads)  # (B, N, H, D)
+        kk = split_heads(Conv1x1(self.k_out)(neighbors), self.num_heads)  # (B,N,K,H,D)
+        v = split_heads(Conv1x1(self.v_out)(neighbors), self.num_heads)
+        d = q.shape[-1]
+        scale = 1.0 / math.sqrt(d)
+
+        if self.asm in ("dot", "dot-neighbor"):
+            energy = jnp.einsum("bnhd,bnkhd->bnhk", q, kk)
+        elif self.asm == "dot-sub":
+            energy = jnp.einsum("bnhd,bnkhd->bnhk", q, q[:, :, None] - kk)
+        elif self.asm in ("l2", "l2+"):
+            diff = q[:, :, None] - kk  # (B, N, K, H, D)
+            mean_diff = jnp.mean(diff, axis=2)  # (B, N, H, D)
+            energy = jnp.einsum("bnhd,bnkhd->bnhk", mean_diff, diff)
+            energy = -energy if self.asm == "l2" else energy
+        else:
+            raise ValueError(f"asm: {self.asm}")
+        attn = jax.nn.softmax(energy * scale, axis=-1)  # (B, N, H, K)
+
+        score = jax.lax.stop_gradient(self._score(attn, nb_idx, n))  # (B, N)
+
+        if self.boltzmann_enable:
+            idx = _boltzmann_select(
+                self.make_rng("sampling"), score, self.m,
+                self.boltzmann_norm_mode, self.boltzmann_t,
+            )
+        else:
+            _, idx = jax.lax.top_k(score, self.m)
+            idx = idx.astype(jnp.int32)
+
+        # dropped complement: bottom (N - M) by local std
+        # (models/downsample.py:916-918)
+        local_std = jnp.std(attn, axis=-1)[..., 0] if attn.ndim == 4 else None
+        drop_score = -jnp.std(attn, axis=-1)[:, :, 0]  # (B, N), ascending std
+        _, idx_dropped = jax.lax.top_k(drop_score, n - self.m)
+        idx_dropped = idx_dropped.astype(jnp.int32)
+
+        def gather_rows(t, i):
+            return jax.vmap(lambda tt, ii: tt[ii])(t, i)
+
+        attn_sel = gather_rows(attn, idx)  # (B, M, H, K)
+        v_sel = gather_rows(v, idx)  # (B, M, K, H, D)
+        x_ds = merge_heads(jnp.einsum("bmhk,bmkhd->bmhd", attn_sel, v_sel))
+
+        attn_drop = gather_rows(attn, idx_dropped)
+        v_drop = gather_rows(v, idx_dropped)
+        x_dropped = merge_heads(jnp.einsum("bmhk,bmkhd->bmhd", attn_drop, v_drop))
+
+        if self.res:
+            x_ds = _res_block(self, x, x_ds, idx, self.ff, self.train)
+
+        aux = {"attention_point_score": score[:, None], "idx": idx, "bin_prob": None}
+        return x_ds, idx, (x_dropped, idx_dropped), aux
+
+    def _score(self, attn: jax.Array, nb_idx: jax.Array, n: int) -> jax.Array:
+        """Local / sparse scores without materializing the N×N scatter."""
+        # attn: (B, N, H, K) — sparse-map modes require H == 1
+        if self.idx_mode == "local_std":
+            # torch.std(..., unbiased=False), models/downsample.py:1029-1031
+            return jnp.std(attn, axis=-1)[:, :, 0]
+        a = attn[:, :, 0, :]  # (B, N, K)
+        if self.idx_mode == "sparse_row_std":
+            # unbiased std over the K nonzero row entries
+            return jnp.std(a, axis=-1, ddof=1)
+        # column statistics via scatter-add over neighbor indices
+        def scat(vals, idxs):
+            return jnp.zeros((n,), vals.dtype).at[idxs.reshape(-1)].add(
+                vals.reshape(-1)
+            )
+
+        col_sum = jax.vmap(scat)(a, nb_idx)  # (B, N)
+        if self.idx_mode == "sparse_col_sum":
+            return col_sum
+        deg = jax.vmap(scat)(jnp.ones_like(a), nb_idx) + 1e-8
+        if self.idx_mode == "sparse_col_avg":
+            return col_sum / deg
+        if self.idx_mode == "sparse_col_sqr":
+            return col_sum / deg / deg
+        raise ValueError(f"idx_mode: {self.idx_mode}")
+
+
+class DownSampleGlobal(nn.Module):
+    """APES global: plain N×N attention, top-M by row/column statistics.
+
+    Reference: models/downsample.py:1232-1405 (includes the extra
+    ``sparse_col_sum_sqr`` mode).  Returns the dropped complement
+    (bottom N−M by column sum, :1301-1303).
+    """
+
+    m: int
+    num_heads: int
+    asm: str  # 'dot' | 'dot-sub' | 'l2' | 'l2+'
+    idx_mode: str
+    q_out: int
+    k_out: int
+    v_out: int
+    k: int = 32
+    res: bool = False
+    ff: bool = False
+    train: bool = True
+
+    @nn.compact
+    def __call__(self, x: jax.Array, x_xyz: Optional[jax.Array] = None):
+        assert self.num_heads == 1, "downsample modules require num_heads == 1"
+        b, n, c = x.shape
+        d = self.q_out // self.num_heads
+        scale = 1.0 / math.sqrt(d)
+
+        q = Conv1x1(self.q_out)(x)
+        kk = Conv1x1(self.k_out)(x)
+        v = Conv1x1(self.v_out)(x)
+
+        if self.asm == "dot":
+            energy = jnp.einsum("bnc,bmc->bnm", q, kk)
+        elif self.asm == "dot-sub":
+            energy = jnp.einsum("bnc,bmc->bnm", q, q) - jnp.einsum(
+                "bnc,bmc->bnm", q, kk
+            )
+        elif self.asm == "l2":
+            energy = -ops.l2_global(q[:, None], kk[:, None])[:, 0]
+        elif self.asm == "l2+":
+            energy = ops.l2_global(q[:, None], kk[:, None])[:, 0]
+        else:
+            raise ValueError(f"asm: {self.asm}")
+        attn = jax.nn.softmax(energy * scale, axis=-1)  # (B, N, N)
+
+        if self.idx_mode in ("col_sum", "row_std"):
+            mask = None
+            if self.idx_mode == "col_sum":
+                score = jnp.sum(attn, axis=-2)
+            else:
+                score = jnp.std(attn, axis=-1, ddof=1)
+        else:
+            mask = ops.neighbor_mask(x, self.k)
+            score = attention_point_score(
+                attn[:, None], mask, self.idx_mode, self.k
+            )[:, 0]
+        score = jax.lax.stop_gradient(score)
+
+        _, idx = jax.lax.top_k(score, self.m)
+        idx = idx.astype(jnp.int32)
+        # dropped = bottom N−M by column sum (models/downsample.py:1301-1303)
+        col = jnp.sum(attn, axis=-2)
+        _, idx_dropped = jax.lax.top_k(-col, n - self.m)
+        idx_dropped = idx_dropped.astype(jnp.int32)
+
+        attn_down = ops.gather_by_idx(attn, idx)
+        x_ds = jnp.einsum("bmn,bnc->bmc", attn_down, v)
+        attn_drop = ops.gather_by_idx(attn, idx_dropped)
+        x_dropped = jnp.einsum("bmn,bnc->bmc", attn_drop, v)
+
+        if self.res:
+            x_ds = _res_block(self, x, x_ds, idx, self.ff, self.train)
+
+        aux = {"attention_point_score": score[:, None], "idx": idx, "bin_prob": None}
+        return x_ds, idx, (x_dropped, idx_dropped), aux

@@ -1,0 +1,221 @@
+"""kNN graph construction and neighbor grouping.
+
+Functional parity targets (reference file:line):
+  * ``knn``                          — utils/ops.py:17-44
+  * ``index_points``                 — utils/ops.py:5-14
+  * ``select_neighbors`` / ``group`` — utils/ops.py:47-112
+  * ``select_neighbors_interpolate`` — utils/ops.py:68-80
+  * ``neighbor_mask``                — utils/ops.py:125-133
+  * ``gather_by_idx``                — utils/ops.py:136-145
+
+TPU notes: the pairwise distance is computed in matmul form so the O(B·N²·C)
+inner product lands on the MXU; ``jax.lax.top_k`` runs the selection.  A
+fused Pallas kernel (samble_tpu.kernels.knn) avoids materializing the N×N
+distance matrix in HBM; this module is the XLA fallback and autodiff path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def _normalize_pair(a: jax.Array, b: jax.Array):
+    """Reference-fidelity normalization before the distance computation.
+
+    Matches utils/ops.py:23-29: subtract the per-cloud mean of ``a`` from
+    both point sets, then divide by the mean-over-channels of the per-channel
+    (unbiased) std of ``a``.
+    """
+    a_mean = jnp.mean(a, axis=1, keepdims=True)  # (B, 1, C)
+    a = a - a_mean
+    b = b - a_mean
+    # torch.std defaults to the unbiased estimator (correction=1).
+    a_std = jnp.std(a, axis=1, keepdims=True, ddof=1)  # (B, 1, C)
+    a_std = jnp.mean(a_std, axis=2, keepdims=True)  # (B, 1, 1)
+    a = a / a_std
+    b = b / a_std
+    return a, b
+
+
+def pairwise_sq_dist(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Squared euclidean distances ``(B, N, M)`` between ``a (B,N,C)`` and ``b (B,M,C)``.
+
+    Uses the ‖a‖² - 2a·b + ‖b‖² expansion so the cross term is a single MXU
+    matmul instead of an O(N·M·C) broadcast subtraction.
+    """
+    # HIGHEST precision: the ±2a·b cross term cancels against ‖a‖²+‖b‖², so
+    # bf16-pass matmuls (TPU default) corrupt near-tie neighbor ordering.
+    inner = jnp.einsum(
+        "bnc,bmc->bnm",
+        a,
+        b,
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+    aa = jnp.sum(a * a, axis=-1, keepdims=True)  # (B, N, 1)
+    bb = jnp.sum(b * b, axis=-1, keepdims=True)  # (B, M, 1)
+    sq = aa - 2.0 * inner + jnp.swapaxes(bb, -1, -2)
+    return jnp.maximum(sq, 0.0)
+
+
+def knn(a: jax.Array, b: jax.Array, k: int):
+    """k-nearest neighbors of each point of ``a`` among points of ``b``.
+
+    :param a: (B, N, C) query points
+    :param b: (B, M, C) reference points
+    :param k: number of neighbors
+    :returns: ``(neg_distance, idx)`` with shapes (B, N, K) each, where
+        ``neg_distance`` is the *negative* euclidean distance (the reference
+        returns ``(-cdist).topk`` values, utils/ops.py:35-43) and ``idx`` is
+        int32.
+    """
+    a, b = _normalize_pair(a, b)
+    sq = pairwise_sq_dist(a, b)
+    # top_k over the negative distance == k smallest distances.  sqrt is
+    # monotonic so indices are unaffected; values match -cdist for parity.
+    neg_dist = -jnp.sqrt(sq)
+    dist, idx = jax.lax.top_k(neg_dist, k)
+    return dist, idx.astype(jnp.int32)
+
+
+def knn_indices(points: jax.Array, k: int) -> jax.Array:
+    """Self-kNN indices ``(B, N, K)`` with gradient stopped (indices only)."""
+    _, idx = knn(jax.lax.stop_gradient(points), jax.lax.stop_gradient(points), k)
+    return idx
+
+
+def index_points(points: jax.Array, idx: jax.Array) -> jax.Array:
+    """Gather point features by a (possibly multi-dim) index tensor.
+
+    :param points: (B, N, C)
+    :param idx: (B, ...) int32 indices into the N axis
+    :returns: (B, ..., C)
+
+    Reference: utils/ops.py:5-14.
+    """
+    return jax.vmap(lambda p, i: p[i])(points, idx)
+
+
+def select_neighbors(
+    pcd: jax.Array, k: int, neighbor_type: str, normal_channel: bool = False
+):
+    """Group each point's kNN neighborhood.
+
+    :param pcd: (B, N, C) features
+    :param neighbor_type: 'neighbor' (raw neighbor features) or 'diff'
+        (neighbor minus center)
+    :returns: ``(neighbors (B, N, K, C), idx (B, N, K))``
+
+    Reference: utils/ops.py:47-65.  With ``normal_channel`` and C==6, the
+    kNN graph is built from the xyz half only.
+    """
+    if normal_channel and pcd.shape[-1] == 6:
+        _, idx = knn(pcd[..., :3], pcd[..., :3], k)
+    else:
+        _, idx = knn(pcd, pcd, k)
+    idx = jax.lax.stop_gradient(idx)
+    neighbors = index_points(pcd, idx)  # (B, N, K, C)
+    if neighbor_type == "neighbor":
+        out = neighbors
+    elif neighbor_type == "diff":
+        out = neighbors - pcd[:, :, None, :]
+    else:
+        raise ValueError(
+            f'neighbor_type should be "neighbor" or "diff", got {neighbor_type}'
+        )
+    return out, idx
+
+
+def group(pcd: jax.Array, k: int, group_type: str, normal_channel: bool = False):
+    """Neighborhood grouping with the reference's four modes.
+
+    :param pcd: (B, N, C)
+    :returns: ``(grouped, idx)`` where grouped is (B, N, K, C) for
+        'neighbor'/'diff' and (B, N, K, 2C) for the 'center_*' variants
+        (center features broadcast along K then concatenated channel-wise).
+
+    Reference: utils/ops.py:83-112.
+    """
+    if group_type == "neighbor":
+        out, idx = select_neighbors(pcd, k, "neighbor", normal_channel)
+    elif group_type == "diff":
+        out, idx = select_neighbors(pcd, k, "diff", normal_channel)
+    elif group_type == "center_neighbor":
+        nb, idx = select_neighbors(pcd, k, "neighbor", normal_channel)
+        center = jnp.broadcast_to(pcd[:, :, None, :], nb.shape)
+        out = jnp.concatenate([center, nb], axis=-1)
+    elif group_type == "center_diff":
+        df, idx = select_neighbors(pcd, k, "diff", normal_channel)
+        center = jnp.broadcast_to(pcd[:, :, None, :], df.shape)
+        out = jnp.concatenate([center, df], axis=-1)
+    else:
+        raise ValueError(
+            "group_type should be neighbor, diff, center_neighbor or "
+            f"center_diff, got {group_type}"
+        )
+    return out, idx
+
+
+def select_neighbors_interpolate(
+    unknown: jax.Array, known: jax.Array, known_feature: jax.Array, k: int = 3
+):
+    """Neighbors for PointNet++-style interpolation upsampling.
+
+    :param unknown: (B, N, C) high-res positions/features (queries)
+    :param known: (B, M, C) low-res positions/features
+    :param known_feature: (B, M, F) features to interpolate
+    :returns: ``(neighbors (B, N, K, F), idx (B, N, K), dist (B, N, K))``
+        where ``dist`` is the *positive* euclidean distance (the reference
+        negates the kNN output back, utils/ops.py:73).
+
+    Reference: utils/ops.py:68-80.
+    """
+    d, idx = knn(unknown, known, k)
+    d = -d  # back to positive distance
+    neighbors = index_points(known_feature, idx)
+    return neighbors, idx, d
+
+
+def neighbor_mask(pcd: jax.Array, k: int) -> jax.Array:
+    """Dense kNN adjacency: ``mask[b, i, j] = 1`` iff j is a kNN of i.
+
+    :param pcd: (B, N, C)
+    :returns: (B, N, N) float32 0/1 mask
+
+    Reference: utils/ops.py:125-133 (scatter of ones).  Built here from the
+    kNN index by a batched scatter; the fused Pallas scoring kernel never
+    materializes this mask at all.
+    """
+    idx = knn_indices(pcd, k)  # (B, N, K)
+    n = pcd.shape[1]
+
+    def one_cloud(i):
+        rows = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[:, None], i.shape)
+        return jnp.zeros((n, n), jnp.float32).at[rows, i].set(1.0)
+
+    return jax.vmap(one_cloud)(idx)
+
+
+def mask_from_idx(idx: jax.Array, n: int) -> jax.Array:
+    """(B, N, K) kNN indices → (B, N, N) 0/1 adjacency (same as neighbor_mask)."""
+
+    def one_cloud(i):
+        rows = jnp.broadcast_to(jnp.arange(i.shape[0], dtype=jnp.int32)[:, None], i.shape)
+        return jnp.zeros((i.shape[0], n), jnp.float32).at[rows, i].set(1.0)
+
+    return jax.vmap(one_cloud)(idx)
+
+
+def gather_by_idx(pcd: jax.Array, idx: jax.Array) -> jax.Array:
+    """Select M points from each cloud.
+
+    :param pcd: (B, N, C)
+    :param idx: (B, M) int32
+    :returns: (B, M, C)
+
+    Reference: utils/ops.py:136-145 (channels-first gather).
+    """
+    return jax.vmap(lambda p, i: p[i])(pcd, idx)

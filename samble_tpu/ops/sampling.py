@@ -1,0 +1,214 @@
+"""Static-shape point sampling: the SAMBLE per-bin sampler and FPS.
+
+The reference implements per-bin sampling with ``torch.multinomial`` plus a
+Python loop over (batch × bin) slicing ragged counts (utils/ops.py:467-619)
+— a host-synchronizing, shape-dynamic pattern that cannot run under XLA.
+Here it is re-expressed as **masked dense Gumbel-top-k**:
+
+  * sampling k items without replacement from a categorical distribution
+    with logits ℓ_i is equivalent to taking the top-k of ℓ_i + G_i with
+    i.i.d. Gumbel noise G_i (Gumbel-top-k theorem);
+  * each point belongs to exactly one bin, so a single (B, N) Gumbel draw
+    serves all bins at once;
+  * per-bin ranks are computed with one sort + a cumulative per-bin counter,
+    and a point is selected iff ``rank_within_bin < k_counts[bin]``;
+  * the output (B, M) index list is ordered (bin 0 samples first, then bin 1,
+    …) exactly like the reference's concatenation order, via one more sort
+    on a composite (bin, rank) key.
+
+Everything is fixed-shape, fully on-device, vmap/jit-safe.
+"""
+
+from __future__ import annotations
+
+import numbers
+
+import jax
+import jax.numpy as jnp
+
+from samble_tpu.ops.attention import zscore
+
+
+def sort_chunk(scores: jax.Array, num_bins: int, descending: bool = False):
+    """Sort scores and split into ``num_bins`` equal chunks.
+
+    :param scores: (B, H, N); N must be divisible by num_bins (the reference
+        tolerates a ragged last chunk via ``torch.chunk``, utils/ops.py:239-259;
+        static shapes require divisibility — asserted here).
+    :returns: ``(x_chunks, idx_chunks)`` each (num_bins, B, H, N // num_bins)
+    """
+    n = scores.shape[-1]
+    assert n % num_bins == 0, "N must be divisible by num_bins for sort_chunk"
+    order = jnp.argsort(-scores if descending else scores, axis=-1)
+    x_sorted = jnp.take_along_axis(scores, order, axis=-1)
+    chunk = n // num_bins
+    x_chunks = jnp.stack(
+        [x_sorted[..., i * chunk : (i + 1) * chunk] for i in range(num_bins)]
+    )
+    idx_chunks = jnp.stack(
+        [order[..., i * chunk : (i + 1) * chunk] for i in range(num_bins)]
+    )
+    return x_chunks, idx_chunks
+
+
+def _inverse_permutation(order: jax.Array) -> jax.Array:
+    """For each row, the inverse of the permutation ``order`` (B, N)."""
+    n = order.shape[-1]
+    pos = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), order.shape)
+    inv = jnp.zeros_like(order)
+    return jax.vmap(lambda o, p: jnp.zeros((n,), jnp.int32).at[o].set(p))(order, pos)
+
+
+def rank_within_bins(pert: jax.Array, bin_id: jax.Array, num_bins: int):
+    """Rank of each point within its own bin, ordering by ``pert`` descending.
+
+    :param pert: (B, N) (perturbed) scores — larger ranks earlier
+    :param bin_id: (B, N) int32 bin membership
+    :returns: ``(rank (B, N) int32, global_rank (B, N) int32)`` where
+        ``global_rank`` is the rank ignoring bins (used as a fallback key).
+
+    One argsort + a per-bin running counter (cumsum over a one-hot of the
+    sorted bin ids) — O(N log N + N·num_bins) instead of the reference's
+    per-(batch, bin) Python loops.
+    """
+    order = jnp.argsort(-pert, axis=1).astype(jnp.int32)  # (B, N) desc
+    sorted_bins = jnp.take_along_axis(bin_id, order, axis=1)  # (B, N)
+    onehot = jax.nn.one_hot(sorted_bins, num_bins, dtype=jnp.int32)
+    cum = jnp.cumsum(onehot, axis=1)  # (B, N, nb)
+    rank_sorted = (
+        jnp.take_along_axis(cum, sorted_bins[..., None], axis=2)[..., 0] - 1
+    )  # (B, N)
+    # scatter ranks back to point order
+    def scatter(o, r):
+        return jnp.zeros_like(r).at[o].set(r)
+
+    n = pert.shape[1]
+    pos = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), pert.shape)
+    rank = jax.vmap(scatter)(order, rank_sorted)
+    global_rank = jax.vmap(scatter)(order, pos)
+    return rank, global_rank
+
+
+def _boltzmann_inverse_t(
+    boltzmann_t, bin_mask: jax.Array, n: int, num_bins: int
+) -> jax.Array:
+    """Per-(batch, bin) inverse temperature (utils/ops.py:524-550).
+
+    :param bin_mask: (B, H, N, num_bins) bool
+    :returns: (B, num_bins) float32
+    """
+    count = jnp.sum(bin_mask[:, 0], axis=1).astype(jnp.float32)  # (B, nb)
+    if boltzmann_t == "mode_1":
+        return count / 100.0
+    if boltzmann_t == "mode_2":
+        return jnp.full_like(count, n / (100.0 * num_bins))
+    if boltzmann_t == "mode_3":
+        return count / 200.0
+    if boltzmann_t == "mode_4":
+        return jnp.full_like(count, n / (200.0 * num_bins))
+    if isinstance(boltzmann_t, numbers.Number):
+        return jnp.full_like(count, 1.0 / boltzmann_t)
+    raise NotImplementedError(f"boltzmann_t: {boltzmann_t}")
+
+
+def generate_downsampled_index(
+    key: jax.Array,
+    m: int,
+    scores: jax.Array,
+    bin_mask: jax.Array,
+    k_counts: jax.Array,
+    sample_mode: str,
+    boltzmann_t,
+) -> jax.Array:
+    """Select M point indices, ``k_counts[b, j]`` of them from bin j.
+
+    :param key: PRNG key (unused for 'topk')
+    :param m: number of points to select
+    :param scores: (B, H, N) raw attention point scores (H == 1)
+    :param bin_mask: (B, H, N, num_bins) bool membership
+    :param k_counts: (B, num_bins) int32 per-bin budgets (sum == M)
+    :param sample_mode: 'topk' | 'uniform' | 'random'
+    :param boltzmann_t: temperature spec for 'random'
+        (mode_1..mode_4 or a number; utils/ops.py:524-550)
+    :returns: (B, M) int32 indices, ordered bin 0 first (reference
+        concatenation order, utils/ops.py:600-612)
+
+    Statistical parity: 'random' matches ``torch.multinomial(replacement=False)``
+    over probs ∝ exp(tanh(zscore(score)) · T⁻¹_bin) within each bin
+    (utils/ops.py:516-598) by the Gumbel-top-k construction; 'uniform' is a
+    uniform without-replacement draw; 'topk' is deterministic score order.
+    If a bin's budget exceeds its population (possible in the reference's
+    water-filling residue edge case, where it would silently emit garbage
+    indices), the deficit is filled with the best-ranked unselected points —
+    output indices are always valid and distinct (documented improvement).
+    """
+    b, h, n = scores.shape
+    num_bins = bin_mask.shape[-1]
+    s = scores[:, 0, :]  # (B, N)
+    mask2 = bin_mask[:, 0]  # (B, N, nb)
+    bin_id = jnp.argmax(mask2, axis=-1).astype(jnp.int32)  # (B, N)
+
+    if sample_mode == "topk":
+        pert = s
+    elif sample_mode == "uniform":
+        pert = jax.random.gumbel(key, (b, n), dtype=jnp.float32)
+    elif sample_mode == "random":
+        t = jnp.tanh(zscore(s, axis=-1))  # (B, N)
+        inv_t = _boltzmann_inverse_t(boltzmann_t, bin_mask, n, num_bins)  # (B, nb)
+        logit = t * jnp.take_along_axis(inv_t, bin_id, axis=1)
+        pert = logit + jax.random.gumbel(key, (b, n), dtype=jnp.float32)
+    else:
+        raise ValueError(
+            "sample_mode must be topk, uniform or random, got " f"{sample_mode}"
+        )
+
+    rank, global_rank = rank_within_bins(pert, bin_id, num_bins)
+    budget = jnp.take_along_axis(k_counts, bin_id, axis=1)  # (B, N)
+    selected = rank < budget
+
+    # Composite ordering key: selected points sort by (bin, rank-in-bin);
+    # unselected points follow, ordered by global rank, as a validity-
+    # preserving fallback.
+    sel_key = bin_id * (n + 1) + rank
+    fallback_key = num_bins * (n + 1) + global_rank
+    order_key = jnp.where(selected, sel_key, fallback_key)
+    idx = jnp.argsort(order_key, axis=1)[:, :m].astype(jnp.int32)
+    return idx
+
+
+def farthest_point_sample(key: jax.Array, xyz: jax.Array, npoint: int) -> jax.Array:
+    """Iterative farthest-point sampling (utils/ops.py:622-643).
+
+    :param xyz: (B, N, 3)
+    :returns: (B, npoint) int32 indices
+    """
+    b, n, _ = xyz.shape
+    farthest0 = jax.random.randint(key, (b,), 0, n, dtype=jnp.int32)
+    centroids0 = jnp.zeros((b, npoint), jnp.int32)
+    distance0 = jnp.full((b, n), 1e10, jnp.float32)
+
+    def body(i, carry):
+        centroids, distance, farthest = carry
+        centroids = centroids.at[:, i].set(farthest)
+        centroid = jnp.take_along_axis(xyz, farthest[:, None, None], axis=1)
+        dist = jnp.sum((xyz - centroid) ** 2, axis=-1)
+        distance = jnp.minimum(distance, dist)
+        farthest = jnp.argmax(distance, axis=-1).astype(jnp.int32)
+        return centroids, distance, farthest
+
+    centroids, _, _ = jax.lax.fori_loop(
+        0, npoint, body, (centroids0, distance0, farthest0)
+    )
+    return centroids
+
+
+def fps(key: jax.Array, x: jax.Array, xyz: jax.Array, npoint: int):
+    """FPS wrapper returning sampled features + indices (utils/ops.py:670-692).
+
+    :param x: (B, N, C) features
+    :param xyz: (B, N, 3) coordinates
+    :returns: ``(x_ds (B, npoint, C), idx (B, npoint))``
+    """
+    idx = farthest_point_sample(key, xyz, npoint)
+    x_ds = jax.vmap(lambda p, i: p[i])(x, idx)
+    return x_ds, idx

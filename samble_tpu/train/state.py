@@ -1,0 +1,73 @@
+"""Train state: params + BN stats + bin boundaries + optimizer, one pytree.
+
+The reference scatters this state across DDP module buffers, ad-hoc
+attributes and a wandb checkpoint dict that saves only ``state_dict`` plus
+the dynamic bin boundaries (train_modelnet.py:491-509; no optimizer state,
+no step counter, no mid-training resume).  Here everything needed for exact
+resume is one dataclass checkpointed atomically with Orbax.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import flax
+import jax
+import optax
+
+
+@flax.struct.dataclass
+class TrainState:
+    step: jax.Array
+    params: Any
+    batch_stats: Any
+    bin_stats: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = flax.struct.field(pytree_node=False)
+
+    def variables(self) -> dict:
+        v = {"params": self.params}
+        if self.batch_stats is not None:
+            v["batch_stats"] = self.batch_stats
+        if self.bin_stats is not None:
+            v["bin_stats"] = self.bin_stats
+        return v
+
+    def apply_gradients(self, grads, new_model_state: Optional[dict] = None):
+        updates, new_opt_state = self.tx.update(grads, self.opt_state, self.params)
+        new_params = optax.apply_updates(self.params, updates)
+        kwargs = {}
+        if new_model_state is not None:
+            kwargs["batch_stats"] = new_model_state.get(
+                "batch_stats", self.batch_stats
+            )
+            kwargs["bin_stats"] = new_model_state.get("bin_stats", self.bin_stats)
+        return self.replace(
+            step=self.step + 1,
+            params=new_params,
+            opt_state=new_opt_state,
+            **kwargs,
+        )
+
+
+def create_train_state(
+    model,
+    example_inputs: tuple,
+    tx: optax.GradientTransformation,
+    rng: jax.Array,
+) -> TrainState:
+    """Initialize parameters/state for ``model`` and wrap with the optimizer."""
+    params_rng, dropout_rng, sampling_rng = jax.random.split(rng, 3)
+    variables = model.init(
+        {"params": params_rng, "dropout": dropout_rng, "sampling": sampling_rng},
+        *example_inputs,
+    )
+    params = variables["params"]
+    return TrainState(
+        step=jax.numpy.zeros((), jax.numpy.int32),
+        params=params,
+        batch_stats=variables.get("batch_stats"),
+        bin_stats=variables.get("bin_stats"),
+        opt_state=tx.init(params),
+        tx=tx,
+    )
