@@ -1,0 +1,44 @@
+"""ModelNet40 evaluation CLI (reference test_modelnet.py).
+
+    python -m samble_tpu.cli.test_modelnet ckpt=<run_workdir/checkpoints> \\
+        [usr_config=...] [introspect=true] [key=value ...]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+from samble_tpu.cli.common import build_config
+
+
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    ckpt = None
+    introspect = False
+    rest = []
+    for a in argv:
+        if a.startswith("ckpt="):
+            ckpt = a.split("=", 1)[1]
+        elif a.startswith("introspect="):
+            introspect = a.split("=", 1)[1].lower() in ("1", "true", "yes")
+        else:
+            rest.append(a)
+    if ckpt is None:
+        raise SystemExit("usage: test_modelnet ckpt=<checkpoints dir> [overrides]")
+    cfg, workdir, synthetic = build_config(rest, "modelnet", "cls.yaml")
+    cfg.mode = "test"
+    from samble_tpu.train.eval import evaluate_modelnet
+
+    result = evaluate_modelnet(
+        cfg, ckpt, workdir, synthetic_data=synthetic, introspect=introspect
+    )
+    print(json.dumps({k: v for k, v in result.items() if k != "category_acc"}))
+    if cfg.select("test.print_results", True):
+        for name, acc in sorted(result["category_acc"].items()):
+            print(f"  {name:>12s}: {acc:.4f}")
+    return result
+
+
+if __name__ == "__main__":
+    main()

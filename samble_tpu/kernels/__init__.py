@@ -1,0 +1,40 @@
+"""Pallas TPU kernels for the hot loops, with XLA fallbacks.
+
+Targets (SURVEY.md §3.5):
+  1. kNN — computed 3+ times per layer stack (every EdgeConv, every N2P
+     layer, every downsampler's neighbor mask).  ``knn.py`` fuses the
+     pairwise-distance matmul with an in-VMEM top-k so the (N, N) distance
+     matrix never reaches HBM.
+  2. SAMBLE attention scoring — ``score.py`` fuses energy → softmax →
+     kNN-masked column reduction, so neither the (N, N+nb) attention map
+     nor the (N, N) neighbor mask is materialized.  Legal as forward-only
+     because gradients never flow through the score (see
+     samble_tpu/nn/downsample.py module docstring).
+
+Dispatch: ``use_pallas()`` is True on TPU backends; CPU tests run the
+kernels in interpreter mode via the ``interpret=True`` escape hatch in the
+differential tests, while production CPU paths use the pure-XLA ops.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import lru_cache
+
+import jax
+
+
+@lru_cache(maxsize=None)
+def use_pallas() -> bool:
+    if os.environ.get("SAMBLE_DISABLE_PALLAS", "0") == "1":
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+from samble_tpu.kernels.knn import knn_pallas  # noqa: E402
+from samble_tpu.kernels.score import sparse_attention_score_pallas  # noqa: E402
+
+__all__ = ["use_pallas", "knn_pallas", "sparse_attention_score_pallas"]

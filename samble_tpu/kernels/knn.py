@@ -1,0 +1,128 @@
+"""Fused pairwise-distance + top-k kNN Pallas kernel.
+
+XLA baseline (samble_tpu.ops.neighbors.knn) materializes the (B, N, M)
+distance matrix in HBM, then reads it back for ``top_k`` — two passes over
+O(N²) data.  This kernel streams row tiles: the distance tile lives in VMEM
+only, and an iterative max-extraction produces the K smallest distances
+per row in-register.  The matmul cross term runs on the MXU; extraction is
+VPU work (max / compare / select over the (TILE, M) tile, K rounds).
+
+Forward-only by design: kNN indices carry no gradient, and every consumer
+of the *distances* in the model is under stop-gradient or uses xyz inputs
+(see samble_tpu/ops/neighbors.py docstrings).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _knn_kernel(a_ref, b_ref, dist_ref, idx_ref, *, k: int, m_valid: int):
+    """One (batch, row-tile) grid cell.
+
+    a_ref:    (1, TILE, C)  query rows (VMEM)
+    b_ref:    (1, M, C)     all reference points (VMEM)
+    dist_ref: (1, TILE, K)  output: negative euclidean distances
+    idx_ref:  (1, TILE, K)  output: neighbor indices (int32)
+    """
+    a = a_ref[0]  # (TILE, C)
+    b = b_ref[0]  # (M, C)
+    tile, m = a.shape[0], b.shape[0]
+
+    # squared distances via the MXU cross term; full f32 precision — the
+    # cancellation a·a − 2a·b + b·b is exactly why (see ops/neighbors.py)
+    inner = jax.lax.dot_general(
+        a, b,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (TILE, M)
+    aa = jnp.sum(a * a, axis=1, keepdims=True)  # (TILE, 1)
+    bb = jnp.sum(b * b, axis=1, keepdims=True)  # (M, 1)
+    sq = jnp.maximum(aa - 2.0 * inner + bb.T, 0.0)  # (TILE, M)
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (tile, m), 1)
+    neg = -sq
+    if m_valid < m:
+        # mask out padded reference rows
+        neg = jnp.where(col < m_valid, neg, -jnp.inf)
+
+    col_k = jax.lax.broadcasted_iota(jnp.int32, (tile, k), 1)
+    dists0 = jnp.zeros((tile, k), jnp.float32)
+    idxs0 = jnp.zeros((tile, k), jnp.int32)
+
+    def body(j, carry):
+        neg_d, dists, idxs = carry
+        row_max = jnp.max(neg_d, axis=1, keepdims=True)  # (TILE, 1)
+        is_max = neg_d == row_max
+        # first index attaining the max (torch.topk tie order)
+        amax = jnp.min(jnp.where(is_max, col, m), axis=1, keepdims=True)
+        d_j = -jnp.sqrt(-row_max)  # (TILE, 1) negative distance
+        dists = jnp.where(col_k == j, d_j, dists)
+        idxs = jnp.where(col_k == j, amax, idxs)
+        neg_d = jnp.where(col == amax, -jnp.inf, neg_d)
+        return neg_d, dists, idxs
+
+    _, dists, idxs = jax.lax.fori_loop(0, k, body, (neg, dists0, idxs0))
+    dist_ref[0] = dists
+    idx_ref[0] = idxs
+
+
+def _round_up(x: int, mult: int) -> int:
+    return ((x + mult - 1) // mult) * mult
+
+
+@functools.partial(jax.jit, static_argnames=("k", "interpret"))
+def knn_pallas(a: jax.Array, b: jax.Array, k: int, interpret: bool = False):
+    """k nearest neighbors of ``a`` rows among ``b`` rows, fused on TPU.
+
+    :param a: (B, N, C) pre-normalized query points
+    :param b: (B, M, C) pre-normalized reference points
+    :returns: ``(neg_dist (B, N, k) f32, idx (B, N, k) int32)`` — same
+        contract as ``ops.neighbors.knn`` after its normalization step.
+    """
+    bsz, n, c = a.shape
+    m = b.shape[1]
+    a = a.astype(jnp.float32)
+    b = b.astype(jnp.float32)
+    tile = 128 if n % 128 == 0 else (64 if n % 64 == 0 else n)
+    n_pad = _round_up(n, tile)
+    if n_pad != n:
+        a = jnp.pad(a, ((0, 0), (0, n_pad - n), (0, 0)))
+    m_pad = _round_up(m, 128)
+    if m_pad != m:
+        b = jnp.pad(b, ((0, 0), (0, m_pad - m), (0, 0)))
+
+    grid = (bsz, n_pad // tile)
+    kernel = functools.partial(_knn_kernel, k=k, m_valid=m)
+    dist, idx = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, tile, c), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, m_pad, c), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, tile, k), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, tile, k), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bsz, n_pad, k), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, n_pad, k), jnp.int32),
+        ],
+        interpret=interpret,
+    )(a, b)
+    return dist[:, :n], idx[:, :n]

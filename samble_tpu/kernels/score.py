@@ -1,0 +1,191 @@
+"""Fused SAMBLE attention-score kernel.
+
+The reference computes the downsampler's point score by materializing the
+full (B, H, N, N+nb) softmax attention map, a dense (B, N, N) kNN mask, and
+their product, then column-reducing (models/downsample.py:300-344 via
+utils/ops.py:125-133).  At N=2048 that is three N² tensors round-tripping
+HBM per downsample layer.
+
+This kernel streams row tiles of the energy matrix: QKᵀ on the MXU →
+in-tile softmax (denominator includes the bin-token columns) → the kNN mask
+row is rebuilt on the fly from the (N, K) neighbor indices by lane
+comparison → masked and unmasked column sums accumulate into (N,) outputs
+across the sequential row-tile grid.  Nothing O(N²) ever leaves VMEM.
+
+Covers idx modes col_sum / sparse_col_sum / sparse_col_avg /
+sparse_col_sqr (the shipped configs use sparse_col_sqr,
+configs/cls.yaml:156-158).  Row-statistic modes fall back to the XLA path.
+Forward-only: scores are consumed under stop_gradient (see
+samble_tpu/nn/downsample.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _score_kernel(
+    q_ref, k_ref, idx_ref, colsum_m_ref, colsum_f_ref, colcnt_ref,
+    *, scale: float, n_valid: int, rows_valid: int, knn_k: int,
+):
+    """One (batch, row-tile) grid cell; row tiles accumulate sequentially.
+
+    q_ref:       (1, TILE, D)   query rows
+    k_ref:       (1, NT, D)     keys incl. bin-token columns (NT = N + nb)
+    idx_ref:     (1, TILE, K)   kNN indices of the tile's rows
+    colsum_m_ref:(1, 1, NT)     Σ_i attn·mask   (masked column sums)
+    colsum_f_ref:(1, 1, NT)     Σ_i attn        (full column sums)
+    colcnt_ref:  (1, 1, NT)     Σ_i mask        (column degrees)
+    """
+    j = pl.program_id(1)
+
+    q = q_ref[0]  # (TILE, D)
+    k = k_ref[0]  # (NT, D)
+    tile, nt = q.shape[0], k.shape[0]
+
+    energy = jax.lax.dot_general(
+        q, k,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (TILE, NT)
+    energy = energy * scale
+    col = jax.lax.broadcasted_iota(jnp.int32, (tile, nt), 1)
+    # padded key rows (beyond the real N + nb) must not join the softmax
+    energy = jnp.where(col < n_valid, energy, -jnp.inf)
+
+    row_max = jnp.max(energy, axis=1, keepdims=True)
+    ex = jnp.exp(energy - row_max)
+    attn = ex / jnp.sum(ex, axis=1, keepdims=True)  # (TILE, NT)
+    # zero out padded query rows so they don't pollute the column sums
+    row_id = j * tile + jax.lax.broadcasted_iota(jnp.int32, (tile, nt), 0)
+    attn = jnp.where(row_id < rows_valid, attn, 0.0)
+
+    # rebuild this tile's kNN mask rows from the index list: K lane compares
+    # (Python-unrolled — Mosaic cannot dynamic_slice register arrays)
+    idx = idx_ref[0]  # (TILE, K) int32
+    mask = jnp.zeros((tile, nt), jnp.float32)
+    for kk in range(knn_k):
+        mask = mask + (col == idx[:, kk][:, None]).astype(jnp.float32)
+    # kNN indices are unique per row, so mask entries are exactly 0/1
+
+    part_m = jnp.sum(attn * mask, axis=0, keepdims=True)  # (1, NT)
+    part_f = jnp.sum(attn, axis=0, keepdims=True)
+    part_c = jnp.sum(mask, axis=0, keepdims=True)
+
+    @pl.when(j == 0)
+    def _():
+        colsum_m_ref[0] = jnp.zeros((1, nt), jnp.float32)
+        colsum_f_ref[0] = jnp.zeros((1, nt), jnp.float32)
+        colcnt_ref[0] = jnp.zeros((1, nt), jnp.float32)
+
+    colsum_m_ref[0] += part_m
+    colsum_f_ref[0] += part_f
+    colcnt_ref[0] += part_c
+
+
+def _round_up(x: int, mult: int) -> int:
+    return ((x + mult - 1) // mult) * mult
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
+def sparse_attention_score_pallas(
+    q: jax.Array,
+    k: jax.Array,
+    nb_idx: jax.Array,
+    scale: float,
+    interpret: bool = False,
+):
+    """Masked/unmasked column sums of softmax(q·kᵀ·scale) without HBM maps.
+
+    :param q: (B, N, D) queries (points only)
+    :param k: (B, NT, D) keys — N point columns then bin-token columns
+    :param nb_idx: (B, N, K) kNN indices (columns < N)
+    :param scale: softmax scale (1/√D)
+    :returns: ``(colsum_masked (B, N), colsum_full (B, N), colcnt (B, N))``
+        — reductions over the point columns only (token columns dropped).
+    """
+    bsz, n, d = q.shape
+    nt = k.shape[1]
+    knn_k = nb_idx.shape[-1]
+    q = q.astype(jnp.float32)
+    k = k.astype(jnp.float32)
+
+    tile = 128 if n % 128 == 0 else (64 if n % 64 == 0 else n)
+    n_pad = _round_up(n, tile)
+    nt_pad = _round_up(nt, 128)
+    if n_pad != n:
+        q = jnp.pad(q, ((0, 0), (0, n_pad - n), (0, 0)))
+        # padded query rows attend somewhere harmless (col 0) and are
+        # dropped on the host side; their mask rows point at column 0 too,
+        # slightly inflating col 0's stats — so pad the *index* rows with
+        # an out-of-range column that the mask compare never hits.
+        nb_idx = jnp.pad(
+            nb_idx, ((0, 0), (0, n_pad - n), (0, 0)), constant_values=nt_pad + 1
+        )
+    if nt_pad != nt:
+        k = jnp.pad(k, ((0, 0), (0, nt_pad - nt), (0, 0)))
+
+    grid = (bsz, n_pad // tile)
+    kernel = functools.partial(
+        _score_kernel, scale=scale, n_valid=nt, rows_valid=n, knn_k=knn_k
+    )
+    colsum_m, colsum_f, colcnt = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, tile, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nt_pad, d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, knn_k), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, nt_pad), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, nt_pad), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, nt_pad), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bsz, 1, nt_pad), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, 1, nt_pad), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, 1, nt_pad), jnp.float32),
+        ],
+        interpret=interpret,
+    )(q, k, nb_idx)
+    # only point columns carry scores (token columns are key-side only)
+    return colsum_m[:, 0, :n], colsum_f[:, 0, :n], colcnt[:, 0, :n]
+
+
+def score_from_colsums(colsum_m, colsum_f, colcnt, idx_mode: str):
+    """Combine kernel outputs into the per-point score (XLA, trivial).
+
+    Matches models/downsample.py:309-344 for the column modes.
+    """
+    deg = colcnt + 1e-8
+    if idx_mode == "col_sum":
+        score = colsum_f
+    elif idx_mode == "sparse_col_sum":
+        score = colsum_m
+    elif idx_mode == "sparse_col_avg":
+        score = colsum_m / deg
+    elif idx_mode == "sparse_col_sqr":
+        score = colsum_m / deg / deg
+    elif idx_mode == "sparse_col_sum_sqr":
+        score = 0.5 * colsum_m / deg / deg + 0.5 * colsum_m
+    else:
+        raise ValueError(f"idx_mode {idx_mode} not covered by the fused kernel")
+    return jnp.nan_to_num(score, nan=0.0, posinf=0.0, neginf=0.0)
+
+
+FUSED_IDX_MODES = (
+    "col_sum", "sparse_col_sum", "sparse_col_avg", "sparse_col_sqr",
+    "sparse_col_sum_sqr",
+)

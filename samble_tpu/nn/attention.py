@@ -42,10 +42,26 @@ class Neighbor2PointAttention(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         # x: (B, N, C)
-        neighbors, _ = ops.group(x, self.k, self.group_type)  # (B, N, K, C)
+        # Project-then-gather: the 1×1 q/k/v convs are linear (bias-free), so
+        # conv(gather(x)) == gather(conv(x)) and conv(nb − center) ==
+        # gather(conv(x)) − conv(x).  This turns the reference's matmul over
+        # the (B, N, K, C) grouped tensor (models/attention.py:175-181 —
+        # K times the FLOPs) into a per-point matmul plus a gather.  Exact.
+        idx = ops.neighbors.knn_indices(x, self.k)  # (B, N, K)
         q = split_heads(Conv1x1(self.q_out)(x), self.num_heads)  # (B, N, H, D)
-        kk = split_heads(Conv1x1(self.k_out)(neighbors), self.num_heads)  # (B,N,K,H,D)
-        v = split_heads(Conv1x1(self.v_out)(neighbors), self.num_heads)
+        k_pt = Conv1x1(self.k_out)(x)  # (B, N, C)
+        v_pt = Conv1x1(self.v_out)(x)
+        k_nb = ops.index_points(k_pt, idx)  # (B, N, K, C)
+        v_nb = ops.index_points(v_pt, idx)
+        if self.group_type == "diff":
+            k_nb = k_nb - k_pt[:, :, None]
+            v_nb = v_nb - v_pt[:, :, None]
+        elif self.group_type != "neighbor":
+            raise ValueError(
+                f"N2P group_type must be diff or neighbor, got {self.group_type}"
+            )
+        kk = split_heads(k_nb, self.num_heads)  # (B, N, K, H, D)
+        v = split_heads(v_nb, self.num_heads)
 
         d = q.shape[-1]
         scale = 1.0 / math.sqrt(d)

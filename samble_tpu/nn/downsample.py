@@ -122,26 +122,56 @@ class DownSampleToken(nn.Module):
         scale = 1.0 / math.sqrt(d)
         k_proj = Conv1x1(self.k_out)(x_and_token)  # (B, N+nt, C)
         v_proj = Conv1x1(self.v_out)(x_and_token)
+
+        # Fused TPU path: the (N, N+nt) attention map never exists in HBM.
+        # The Pallas kernel produces the (stop-grad) column-sum score from
+        # streamed row tiles; the thin differentiable pieces (bin-token
+        # logits, gathered output rows) are recomputed as small matmuls.
+        from samble_tpu import kernels
+        from samble_tpu.kernels.score import FUSED_IDX_MODES, score_from_colsums
+
+        fused = (
+            kernels.use_pallas()
+            and self.asm == "dot"
+            and self.idx_mode in FUSED_IDX_MODES
+            and n >= 256
+        )
+
         if self.asm == "dot":
             q_proj = Conv1x1(self.q_out)(x)  # (B, N, C)
-            energy = jnp.einsum("bnc,bmc->bnm", q_proj, k_proj)
         elif self.asm == "l2":
             q_proj = Conv1x1(self.q_out)(x_and_token)
-            energy = -ops.l2_global(q_proj[:, None], k_proj[:, None])[:, 0, :n, :]
         else:
             raise NotImplementedError(f"asm: {self.asm}")
-        pre = energy * scale  # (B, N, N + n_tok) pre-softmax
-        attn = jax.nn.softmax(pre, axis=-1)
-        attention_points = attn[..., :n]  # (B, N, N)
-        bins_pre = pre[..., n:]  # (B, N, n_tok) — differentiable, thin
 
-        # --- attention point score (stop-grad; Pallas-fusable) -------------
-        mask = ops.neighbor_mask(x, self.k)  # (B, N, N)
-        score = jax.lax.stop_gradient(
-            attention_point_score(
-                attention_points[:, None], mask, self.idx_mode, self.k
+        if fused:
+            nb_idx = ops.neighbors.knn_indices(x, self.k)  # (B, N, K)
+            cm, cf, cc = kernels.sparse_attention_score_pallas(
+                jax.lax.stop_gradient(q_proj),
+                jax.lax.stop_gradient(k_proj),
+                nb_idx, scale,
             )
-        )  # (B, 1, N)
+            score = score_from_colsums(cm, cf, cc, self.idx_mode)[:, None]
+            # bin-token logits: differentiable thin slice of the energy
+            bins_pre = (
+                jnp.einsum("bnc,btc->bnt", q_proj, k_proj[:, n:]) * scale
+            )  # (B, N, n_tok)
+            attn = None
+        else:
+            if self.asm == "dot":
+                energy = jnp.einsum("bnc,bmc->bnm", q_proj, k_proj)
+            else:
+                energy = -ops.l2_global(q_proj[:, None], k_proj[:, None])[:, 0, :n, :]
+            pre = energy * scale  # (B, N, N + n_tok) pre-softmax
+            attn = jax.nn.softmax(pre, axis=-1)
+            attention_points = attn[..., :n]  # (B, N, N)
+            bins_pre = pre[..., n:]  # (B, N, n_tok) — differentiable, thin
+            mask = ops.neighbor_mask(x, self.k)  # (B, N, N)
+            score = jax.lax.stop_gradient(
+                attention_point_score(
+                    attention_points[:, None], mask, self.idx_mode, self.k
+                )
+            )  # (B, 1, N)
 
         # --- bin partition with EMA boundary state -------------------------
         if self.dynamic_boundaries:
@@ -200,7 +230,15 @@ class DownSampleToken(nn.Module):
         )  # (B, M)
 
         # --- gathered attention rows @ V ------------------------------------
-        attn_down = ops.gather_by_idx(attn, idx)  # (B, M, N + n_tok)
+        if fused:
+            # recompute the M selected attention rows (cheaper than storing
+            # the full map; row-wise softmax is identical to the full one)
+            q_sel = ops.gather_by_idx(q_proj, idx)  # (B, M, C)
+            attn_down = jax.nn.softmax(
+                jnp.einsum("bmc,btc->bmt", q_sel, k_proj) * scale, axis=-1
+            )
+        else:
+            attn_down = ops.gather_by_idx(attn, idx)  # (B, M, N + n_tok)
         x_ds = jnp.einsum("bmn,bnc->bmc", attn_down, v_proj)  # (B, M, C)
 
         if self.res:
@@ -329,11 +367,18 @@ class DownSampleLocal(nn.Module):
     def __call__(self, x: jax.Array, x_xyz: Optional[jax.Array] = None):
         b, n, c = x.shape
         group_type = "diff" if self.asm == "dot" else "neighbor"
-        neighbors, nb_idx = ops.group(x, self.k, group_type)  # (B, N, K, C)
-
+        # project-then-gather (exact; see nn/attention.py)
+        nb_idx = ops.neighbors.knn_indices(x, self.k)  # (B, N, K)
         q = split_heads(Conv1x1(self.q_out)(x), self.num_heads)  # (B, N, H, D)
-        kk = split_heads(Conv1x1(self.k_out)(neighbors), self.num_heads)  # (B,N,K,H,D)
-        v = split_heads(Conv1x1(self.v_out)(neighbors), self.num_heads)
+        k_pt = Conv1x1(self.k_out)(x)
+        v_pt = Conv1x1(self.v_out)(x)
+        k_nb = ops.index_points(k_pt, nb_idx)
+        v_nb = ops.index_points(v_pt, nb_idx)
+        if group_type == "diff":
+            k_nb = k_nb - k_pt[:, :, None]
+            v_nb = v_nb - v_pt[:, :, None]
+        kk = split_heads(k_nb, self.num_heads)  # (B, N, K, H, D)
+        v = split_heads(v_nb, self.num_heads)
         d = q.shape[-1]
         scale = 1.0 / math.sqrt(d)
 

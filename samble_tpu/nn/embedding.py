@@ -33,9 +33,43 @@ class EdgeConv(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         # x: (B, N, C)
-        g, _ = ops.group(x, self.k, self.group_type, self.normal_channel)
-        # g: (B, N, K, C') — C' = 2C for center_* group types
-        g = ConvBNLeaky(self.conv1_out, train=self.train)(g)
+        # conv1 is linear (bias-free), so it commutes with the grouping:
+        # conv1([center ‖ nb − center]) = (W_c − W_d)·x  +  gather(W_d·x).
+        # The kernel keeps the reference's (C', conv1_out) shape; only the
+        # matmul is hoisted before the gather (exact — see nn/attention.py).
+        b, n, c = x.shape
+        c_in = 2 * c if self.group_type.startswith("center") else c
+        kernel = self.param(
+            "conv1_kernel",
+            nn.initializers.lecun_normal(),
+            (c_in, self.conv1_out),
+        )
+        if self.normal_channel and c == 6:
+            idx = ops.neighbors.knn_indices(x[..., :3], self.k)
+        else:
+            idx = ops.neighbors.knn_indices(x, self.k)
+
+        if self.group_type == "center_diff":
+            w_center, w_diff = kernel[:c], kernel[c:]
+            p_self = x @ (w_center - w_diff)  # (B, N, C1)
+            p_nb = x @ w_diff
+            g = p_self[:, :, None] + ops.index_points(p_nb, idx)
+        elif self.group_type == "center_neighbor":
+            w_center, w_nb = kernel[:c], kernel[c:]
+            p_self = x @ w_center
+            p_nb = x @ w_nb
+            g = p_self[:, :, None] + ops.index_points(p_nb, idx)
+        elif self.group_type == "diff":
+            p = x @ kernel
+            g = ops.index_points(p, idx) - p[:, :, None]
+        elif self.group_type == "neighbor":
+            p = x @ kernel
+            g = ops.index_points(p, idx)
+        else:
+            raise ValueError(f"unknown group_type: {self.group_type}")
+        # g: (B, N, K, conv1_out)
+        g = PointBatchNorm(use_running_average=not self.train)(g)
+        g = leaky_relu(g)
         g = ConvBNLeaky(self.conv2_out, train=self.train)(g)
         return jnp.max(g, axis=2)  # (B, N, conv2_out)
 

@@ -81,9 +81,27 @@ def knn(a: jax.Array, b: jax.Array, k: int):
     return dist, idx.astype(jnp.int32)
 
 
+def knn_fast(a: jax.Array, b: jax.Array, k: int):
+    """kNN with the fused Pallas kernel on TPU (XLA fallback elsewhere).
+
+    Forward-only (inputs are stop-gradiented): use wherever only the
+    *indices* matter — neighbor grouping, adjacency masks.  The
+    differentiable-distance path (``select_neighbors_interpolate`` with
+    feature distances) must call :func:`knn` instead.
+    """
+    a = jax.lax.stop_gradient(a)
+    b = jax.lax.stop_gradient(b)
+    from samble_tpu import kernels  # local import to avoid cycles
+
+    if kernels.use_pallas() and a.shape[1] >= 256 and b.shape[1] >= 256 and k <= 128:
+        an, bn = _normalize_pair(a, b)
+        return kernels.knn_pallas(an, bn, k)
+    return knn(a, b, k)
+
+
 def knn_indices(points: jax.Array, k: int) -> jax.Array:
     """Self-kNN indices ``(B, N, K)`` with gradient stopped (indices only)."""
-    _, idx = knn(jax.lax.stop_gradient(points), jax.lax.stop_gradient(points), k)
+    _, idx = knn_fast(points, points, k)
     return idx
 
 
@@ -113,9 +131,9 @@ def select_neighbors(
     kNN graph is built from the xyz half only.
     """
     if normal_channel and pcd.shape[-1] == 6:
-        _, idx = knn(pcd[..., :3], pcd[..., :3], k)
+        _, idx = knn_fast(pcd[..., :3], pcd[..., :3], k)
     else:
-        _, idx = knn(pcd, pcd, k)
+        _, idx = knn_fast(pcd, pcd, k)
     idx = jax.lax.stop_gradient(idx)
     neighbors = index_points(pcd, idx)  # (B, N, K, C)
     if neighbor_type == "neighbor":

@@ -1,0 +1,213 @@
+"""Standalone evaluation harnesses (reference test_modelnet.py /
+test_shapenet.py): checkpoint restore, TTA voting, per-layer introspection.
+
+The reference gathers ragged per-bin index lists across GPUs for
+visualization with a hand-rolled size-table gather
+(utils/ops.py:289-382, test_shapenet.py:278-334); here every introspection
+tensor is fixed-shape (scores, indices, bin masks, bin probabilities), so a
+plain host transfer replaces the whole machinery — ragged per-bin chunks
+can be derived on host from ``bin_points_mask`` when needed.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from samble_tpu.data import BatchLoader, make_batch_augment
+from samble_tpu.data.augmentation import make_vote_augment
+from samble_tpu.models import ClsModel, SegModel
+from samble_tpu.parallel import make_mesh, shard_batch
+from samble_tpu.train import metrics as metrics_mod
+from samble_tpu.train.checkpoint import CheckpointManager
+from samble_tpu.train.loop import _load_modelnet, _load_shapenet
+from samble_tpu.train.schedules import make_optimizer
+from samble_tpu.train.state import create_train_state
+from samble_tpu.train.step import make_eval_step, make_vote_eval_step
+
+
+def _make_introspect_step(model_eval, task: str):
+    """Eval step that also returns the downsample aux (fixed-shape)."""
+
+    def step(state, points, cat, rng):
+        variables = state.variables()
+        if task == "cls":
+            logits, aux = model_eval.apply(variables, points, rngs={"sampling": rng})
+        else:
+            cat_oh = jax.nn.one_hot(cat, 16, dtype=points.dtype)
+            logits, aux = model_eval.apply(
+                variables, points, cat_oh, rngs={"sampling": rng}
+            )
+        keep = {}
+        for l, a in enumerate(aux["downsample"]):
+            for k in ("attention_point_score", "idx", "bin_prob",
+                      "k_point_to_choose", "bin_points_mask"):
+                if a.get(k) is not None:
+                    keep[f"layer{l}/{k}"] = a[k]
+        return {"logits": logits, "preds": jnp.argmax(logits, -1), **keep}
+
+    return jax.jit(step)
+
+
+def _restore(cfg, model, example, ckpt_dir: str, rng):
+    tx = make_optimizer(cfg.train, steps_per_epoch=1)
+    template = create_train_state(model, example, tx, rng)
+    mgr = CheckpointManager(ckpt_dir)
+    state = mgr.restore(template)
+    mgr.close()
+    return state
+
+
+def evaluate_modelnet(
+    cfg, ckpt_dir: str, workdir: str, synthetic_data: bool = False,
+    introspect: bool = False,
+) -> Dict[str, Any]:
+    """Reference test_modelnet.py: accuracy (+voting, +introspection dumps)."""
+    os.makedirs(workdir, exist_ok=True)
+    _, test_set = _load_modelnet(cfg, synthetic_data)
+    dl = cfg.test.dataloader
+    bs = int(dl.batch_size_per_gpu) * jax.device_count()
+    n_sel = int(cfg.train.dataloader.selected_points)
+    loader = BatchLoader(
+        test_set.pcd, test_set.label, batch_size=bs, selected_points=n_sel,
+        shuffle=False, drop_last=False, seed=0,
+    )
+    mesh = make_mesh()
+    model_train = ClsModel(cfg=cfg, num_classes=40, train=True)
+    model_eval = ClsModel(cfg=cfg, num_classes=40, train=False)
+    example = (np.zeros((bs, n_sel, 3), np.float32),)
+    state = _restore(cfg, model_train, example, ckpt_dir, jax.random.key(0))
+
+    vote_cfg = dl.get("vote")
+    use_vote = vote_cfg is not None and bool(vote_cfg.enable)
+    if use_vote:
+        step = make_vote_eval_step(
+            model_eval, "cls", int(vote_cfg.num_vote),
+            make_vote_augment(cfg.train.dataloader.data_augmentation),
+        )
+    else:
+        step = (
+            _make_introspect_step(model_eval, "cls")
+            if introspect
+            else make_eval_step(model_eval, "cls")
+        )
+
+    preds_all, labels_all = [], []
+    dumps: Dict[str, list] = {}
+    for i, batch in enumerate(loader):
+        points, label, valid = batch
+        points_d = shard_batch(mesh, points)
+        out = step(state, points_d, None, jax.random.fold_in(jax.random.key(1), i))
+        preds_all.append(np.asarray(out["preds"])[valid])
+        labels_all.append(label[valid])
+        if introspect and not use_vote:
+            for k, v in out.items():
+                if "/" in k:
+                    dumps.setdefault(k, []).append(np.asarray(v)[valid])
+    preds = np.concatenate(preds_all)
+    labels = np.concatenate(labels_all)
+    acc = metrics_mod.accuracy(preds, labels)
+    cat_acc = metrics_mod.category_accuracy(preds, labels, cfg.datasets.mapping)
+    result = {"acc": acc, "category_acc": cat_acc}
+    if dumps:
+        np.savez_compressed(
+            os.path.join(workdir, "introspection.npz"),
+            **{k.replace("/", "_"): np.concatenate(v) for k, v in dumps.items()},
+        )
+        result["introspection_path"] = os.path.join(workdir, "introspection.npz")
+    return result
+
+
+def evaluate_shapenet(
+    cfg, ckpt_dir: str, workdir: str, synthetic_data: bool = False,
+    introspect: bool = False,
+) -> Dict[str, Any]:
+    """Reference test_shapenet.py: mIoU / category mIoU (+voting,
+    +per-ds-layer mIoU, +introspection dumps)."""
+    os.makedirs(workdir, exist_ok=True)
+    _, test_set = _load_shapenet(cfg, synthetic_data)
+    dl = cfg.test.dataloader
+    bs = int(dl.batch_size_per_gpu) * jax.device_count()
+    n_sel = int(cfg.train.dataloader.selected_points)
+    loader = BatchLoader(
+        test_set.pcd, test_set.label, test_set.seg, batch_size=bs,
+        selected_points=n_sel, shuffle=False, drop_last=False, seed=0,
+    )
+    mesh = make_mesh()
+    model_train = SegModel(cfg=cfg, num_parts=50, train=True)
+    model_eval = SegModel(cfg=cfg, num_parts=50, train=False)
+    example = (
+        np.zeros((bs, n_sel, 3), np.float32), np.zeros((bs, 16), np.float32),
+    )
+    state = _restore(cfg, model_train, example, ckpt_dir, jax.random.key(0))
+
+    parts_mask = metrics_mod.parts_matrix(cfg.datasets.mapping)
+    shape_iou_fn = jax.jit(lambda p, l, c: metrics_mod.shape_iou(p, l, c, parts_mask))
+
+    vote_cfg = dl.get("vote")
+    use_vote = vote_cfg is not None and bool(vote_cfg.enable)
+    if use_vote:
+        step = make_vote_eval_step(
+            model_eval, "seg", int(vote_cfg.num_vote),
+            make_vote_augment(cfg.train.dataloader.data_augmentation),
+        )
+    else:
+        step = (
+            _make_introspect_step(model_eval, "seg")
+            if introspect
+            else make_eval_step(model_eval, "seg")
+        )
+
+    num_ds = len(cfg.feature_learning_block.downsample.M)
+    all_iou, all_cat = [], []
+    ds_preds = [[] for _ in range(num_ds)]
+    ds_labels = [[] for _ in range(num_ds)]
+    dumps: Dict[str, list] = {}
+    for i, batch in enumerate(loader):
+        points, label, seg, valid = batch
+        points_d, label_d = shard_batch(mesh, (points, label))
+        out = step(state, points_d, label_d, jax.random.fold_in(jax.random.key(1), i))
+        preds = np.asarray(out["preds"])
+        iou = np.asarray(shape_iou_fn(out["preds"], jnp.asarray(seg), jnp.asarray(label)))
+        all_iou.append(iou[valid])
+        all_cat.append(label[valid])
+        if introspect and not use_vote:
+            idx_list = [
+                np.asarray(out[f"layer{l}/idx"]) for l in range(num_ds)
+                if f"layer{l}/idx" in out
+            ]
+            if len(idx_list) == num_ds:
+                remapped = metrics_mod.downsampled_iou_labels(preds, seg, idx_list)
+                for l, (p_l, s_l) in enumerate(remapped):
+                    ds_preds[l].append(p_l[valid])
+                    ds_labels[l].append(s_l[valid])
+            for k, v in out.items():
+                if "/" in k:
+                    dumps.setdefault(k, []).append(np.asarray(v)[valid])
+    all_iou = np.concatenate(all_iou)
+    all_cat = np.concatenate(all_cat)
+    cat_miou = metrics_mod.category_miou(all_iou, all_cat, cfg.datasets.mapping)
+    result = {
+        "mIoU": float(all_iou.mean()),
+        "category_mIoU": float(np.nanmean(list(cat_miou.values()))),
+        "per_category": cat_miou,
+    }
+    for l in range(num_ds):
+        if ds_preds[l]:
+            p_l = np.concatenate(ds_preds[l])
+            s_l = np.concatenate(ds_labels[l])
+            iou_l = np.asarray(
+                shape_iou_fn(jnp.asarray(p_l), jnp.asarray(s_l), jnp.asarray(all_cat))
+            )
+            result[f"dsLayer{l + 1}_mIoU"] = float(iou_l.mean())
+    if dumps:
+        np.savez_compressed(
+            os.path.join(workdir, "introspection.npz"),
+            **{k.replace("/", "_"): np.concatenate(v) for k, v in dumps.items()},
+        )
+        result["introspection_path"] = os.path.join(workdir, "introspection.npz")
+    return result

@@ -1,0 +1,311 @@
+"""Full training orchestration for both workloads.
+
+Replaces the reference's per-rank training scripts
+(train_modelnet.py:78-546, train_shapenet.py:81-737): one host process, one
+mesh, batch-sharded jitted steps.  Validation (with optional TTA voting),
+best-checkpoint tracking, per-ds-layer segmentation mIoU with cross-layer
+index remapping, CSV/JSONL metric logging, and optional wandb are all here.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from samble_tpu.config import check_config
+from samble_tpu.data import (
+    BatchLoader,
+    ModelNetDataset,
+    ShapeNetDataset,
+    download_modelnet,
+    download_shapenet,
+    make_batch_augment,
+    synthetic_modelnet,
+    synthetic_shapenet,
+)
+from samble_tpu.data.augmentation import make_vote_augment
+from samble_tpu.models import ClsModel, SegModel
+from samble_tpu.parallel import make_mesh, shard_batch, replicate_state
+from samble_tpu.train import metrics as metrics_mod
+from samble_tpu.train.checkpoint import CheckpointManager
+from samble_tpu.train.schedules import make_optimizer
+from samble_tpu.train.state import create_train_state
+from samble_tpu.train.step import make_eval_step, make_train_step, make_vote_eval_step
+from samble_tpu.utils.logging import MetricLogger
+
+
+def _seed_from_config(cfg) -> int:
+    seed = int(cfg.select("train.ddp.random_seed", 0) or 0)
+    if seed == 0:
+        seed = int(time.time()) % (2**31)
+    return seed
+
+
+def _load_modelnet(cfg, synthetic: bool):
+    dl = cfg.train.dataloader
+    if synthetic:
+        return (
+            synthetic_modelnet(256, num_points=2048),
+            synthetic_modelnet(64, num_points=2048, seed=1),
+        )
+    saved = cfg.datasets.saved_path
+    try:
+        download_modelnet(cfg.datasets.url, saved)
+    except Exception as e:  # zero-egress environments
+        print(f"[data] download skipped ({e}); expecting files under {saved}")
+    return (
+        ModelNetDataset.from_hdf5(saved, "trainval"),
+        ModelNetDataset.from_hdf5(saved, "test"),
+    )
+
+
+def _load_shapenet(cfg, synthetic: bool):
+    dl = cfg.train.dataloader
+    if synthetic:
+        return (
+            synthetic_shapenet(256, num_points=2048),
+            synthetic_shapenet(64, num_points=2048, seed=1),
+        )
+    saved = cfg.datasets.saved_path
+    try:
+        download_shapenet(cfg.datasets.url, saved)
+    except Exception as e:
+        print(f"[data] download skipped ({e}); expecting files under {saved}")
+    part = "trainval" if cfg.train.dataloader.combine_trainval else "train"
+    return (
+        ShapeNetDataset.from_hdf5(saved, part),
+        ShapeNetDataset.from_hdf5(saved, "test"),
+    )
+
+
+def train_modelnet(cfg, workdir: str, synthetic_data: bool = False) -> Dict[str, Any]:
+    """ModelNet40 classification training (reference train_modelnet.py)."""
+    check_config(cfg)
+    os.makedirs(workdir, exist_ok=True)
+    seed = _seed_from_config(cfg)
+    rng = jax.random.key(seed)
+
+    train_set, test_set = _load_modelnet(cfg, synthetic_data)
+    dl = cfg.train.dataloader
+    bs = int(dl.batch_size_per_gpu) * jax.device_count()
+    train_loader = BatchLoader(
+        train_set.pcd, train_set.label, batch_size=bs,
+        selected_points=int(dl.selected_points), shuffle=True,
+        drop_last=True, seed=seed,
+    )
+    val_loader = BatchLoader(
+        test_set.pcd, test_set.label, batch_size=bs,
+        selected_points=int(dl.selected_points), shuffle=False,
+        drop_last=False, seed=seed + 1,
+    )
+
+    mesh = make_mesh()
+    model = ClsModel(cfg=cfg, num_classes=40, train=True)
+    model_eval = ClsModel(cfg=cfg, num_classes=40, train=False)
+    tx = make_optimizer(cfg.train, steps_per_epoch=len(train_loader))
+    example = (np.zeros((bs, int(dl.selected_points), 3), np.float32),)
+    state = create_train_state(model, example, tx, rng)
+    state = replicate_state(mesh, state)
+
+    aug_cfg = dl.data_augmentation
+    augment = make_batch_augment(aug_cfg) if aug_cfg.enable else None
+    train_step = make_train_step(model, cfg, "cls", 40, augment_fn=augment)
+    eval_step = make_eval_step(model_eval, "cls")
+    vote_cfg = dl.get("vote")
+    vote_enable = bool(vote_cfg.enable) if vote_cfg is not None else False
+    if vote_enable:
+        vote_step = make_vote_eval_step(
+            model_eval, "cls", int(vote_cfg.num_vote), make_vote_augment(aug_cfg)
+        )
+
+    logger = MetricLogger(workdir, cfg)
+    ckpt = CheckpointManager(os.path.join(workdir, "checkpoints"))
+    best_acc, val_accs = 0.0, []
+    epochs = int(cfg.train.epochs)
+    val_freq = int(cfg.train.validation_freq)
+
+    for epoch in range(epochs):
+        t0 = time.time()
+        losses, preds_all, labels_all = [], [], []
+        for batch in train_loader:
+            points, label, _ = batch
+            points, label = shard_batch(mesh, (points, label))
+            state, out = train_step(state, (points, label), rng)
+            losses.append(out["loss"])
+            preds_all.append(np.asarray(out["preds"]))
+            labels_all.append(label)
+        train_loss = float(np.mean([float(l) for l in losses]))
+        train_acc = metrics_mod.accuracy(
+            np.concatenate(preds_all), np.concatenate([np.asarray(l) for l in labels_all])
+        )
+        epoch_metrics = {
+            "epoch": epoch,
+            "train/loss": train_loss,
+            "train/acc": train_acc,
+            "train/epoch_time_s": time.time() - t0,
+        }
+
+        if (epoch + 1) % val_freq == 0:
+            preds_all, labels_all = [], []
+            use_vote = vote_enable and (epoch + 1) >= int(vote_cfg.vote_start_epoch)
+            for i, batch in enumerate(val_loader):
+                points, label, valid = batch
+                points_d = shard_batch(mesh, points)
+                key = jax.random.fold_in(jax.random.key(seed + 2), i)
+                if use_vote:
+                    out = vote_step(state, points_d, None, key)
+                else:
+                    out = eval_step(state, points_d, None, key)
+                preds_all.append(np.asarray(out["preds"])[valid])
+                labels_all.append(label[valid])
+            val_acc = metrics_mod.accuracy(
+                np.concatenate(preds_all), np.concatenate(labels_all)
+            )
+            val_accs.append(val_acc)
+            best_acc = max(best_acc, val_acc)
+            epoch_metrics.update(
+                {"val/acc": val_acc, "val/best_acc": best_acc}
+            )
+            if val_acc >= max(val_accs):
+                ckpt.save(epoch, state, metric=val_acc)
+        logger.log(epoch_metrics)
+
+    logger.close()
+    ckpt.close()
+    return {"best_acc": best_acc, "state": state}
+
+
+def train_shapenet(cfg, workdir: str, synthetic_data: bool = False) -> Dict[str, Any]:
+    """ShapeNet part-seg training with per-ds-layer mIoU
+    (reference train_shapenet.py incl. :550-637 index remapping)."""
+    check_config(cfg)
+    os.makedirs(workdir, exist_ok=True)
+    seed = _seed_from_config(cfg)
+    rng = jax.random.key(seed)
+
+    train_set, test_set = _load_shapenet(cfg, synthetic_data)
+    dl = cfg.train.dataloader
+    bs = int(dl.batch_size_per_gpu) * jax.device_count()
+    n_sel = int(dl.selected_points)
+    train_loader = BatchLoader(
+        train_set.pcd, train_set.label, train_set.seg, batch_size=bs,
+        selected_points=n_sel, shuffle=True, drop_last=True, seed=seed,
+    )
+    val_loader = BatchLoader(
+        test_set.pcd, test_set.label, test_set.seg, batch_size=bs,
+        selected_points=n_sel, shuffle=False, drop_last=False, seed=seed + 1,
+    )
+
+    mesh = make_mesh()
+    model = SegModel(cfg=cfg, num_parts=50, train=True)
+    model_eval = SegModel(cfg=cfg, num_parts=50, train=False)
+    tx = make_optimizer(cfg.train, steps_per_epoch=len(train_loader))
+    example = (
+        np.zeros((bs, n_sel, 3), np.float32),
+        np.zeros((bs, 16), np.float32),
+    )
+    state = create_train_state(model, example, tx, rng)
+    state = replicate_state(mesh, state)
+
+    aug_cfg = dl.data_augmentation
+    augment = make_batch_augment(aug_cfg) if aug_cfg.enable else None
+    train_step = make_train_step(model, cfg, "seg", 50, augment_fn=augment)
+    eval_step = make_eval_step(model_eval, "seg")
+    vote_cfg = dl.get("vote")
+    vote_enable = bool(vote_cfg.enable) if vote_cfg is not None else False
+    if vote_enable:
+        vote_step = make_vote_eval_step(
+            model_eval, "seg", int(vote_cfg.num_vote), make_vote_augment(aug_cfg)
+        )
+
+    parts_mask = metrics_mod.parts_matrix(cfg.datasets.mapping)
+    shape_iou_fn = jax.jit(
+        lambda p, l, c: metrics_mod.shape_iou(p, l, c, parts_mask)
+    )
+
+    logger = MetricLogger(workdir, cfg)
+    ckpt = CheckpointManager(os.path.join(workdir, "checkpoints"))
+    best_miou, val_mious = 0.0, []
+    epochs = int(cfg.train.epochs)
+    val_freq = int(cfg.train.validation_freq)
+    num_ds = len(cfg.feature_learning_block.downsample.M)
+
+    for epoch in range(epochs):
+        t0 = time.time()
+        losses, ious, cats = [], [], []
+        for batch in train_loader:
+            points, label, seg, _ = batch
+            points, label, seg = shard_batch(mesh, (points, label, seg))
+            state, out = train_step(state, (points, seg, label), rng)
+            losses.append(float(out["loss"]))
+            ious.append(np.asarray(shape_iou_fn(out["preds"], seg, label)))
+            cats.append(np.asarray(label))
+        train_loss = float(np.mean(losses))
+        train_miou = float(np.concatenate(ious).mean())
+        epoch_metrics = {
+            "epoch": epoch,
+            "train/loss": train_loss,
+            "train/mIoU": train_miou,
+            "train/epoch_time_s": time.time() - t0,
+        }
+
+        if (epoch + 1) % val_freq == 0:
+            use_vote = vote_enable and (epoch + 1) >= int(vote_cfg.vote_start_epoch)
+            all_iou, all_cat = [], []
+            ds_preds = [[] for _ in range(num_ds)]
+            ds_labels = [[] for _ in range(num_ds)]
+            for i, batch in enumerate(val_loader):
+                points, label, seg, valid = batch
+                points_d, label_d = shard_batch(mesh, (points, label))
+                key = jax.random.fold_in(jax.random.key(seed + 2), i)
+                if use_vote:
+                    out = vote_step(state, points_d, label_d, key)
+                else:
+                    out = eval_step(state, points_d, label_d, key)
+                preds = np.asarray(out["preds"])
+                iou = np.asarray(shape_iou_fn(out["preds"], seg, label))
+                all_iou.append(iou[valid])
+                all_cat.append(label[valid])
+                if "ds_idx" in out:
+                    # per-ds-layer mIoU with index remapping through layers
+                    remapped = metrics_mod.downsampled_iou_labels(
+                        preds, seg, [np.asarray(ix) for ix in out["ds_idx"]]
+                    )
+                    for l, (p_l, s_l) in enumerate(remapped):
+                        ds_preds[l].append(p_l[valid])
+                        ds_labels[l].append(s_l[valid])
+            all_iou = np.concatenate(all_iou)
+            all_cat = np.concatenate(all_cat)
+            val_miou = float(all_iou.mean())
+            cat_miou = metrics_mod.category_miou(all_iou, all_cat, cfg.datasets.mapping)
+            val_cat_miou = float(np.nanmean(list(cat_miou.values())))
+            val_mious.append(val_miou)
+            best_miou = max(best_miou, val_miou)
+            epoch_metrics.update(
+                {
+                    "val/mIoU": val_miou,
+                    "val/category_mIoU": val_cat_miou,
+                    "val/best_mIoU": best_miou,
+                }
+            )
+            for l in range(num_ds):
+                if ds_preds[l]:
+                    p_l = np.concatenate(ds_preds[l])
+                    s_l = np.concatenate(ds_labels[l])
+                    iou_l = np.asarray(
+                        shape_iou_fn(jnp.asarray(p_l), jnp.asarray(s_l), jnp.asarray(all_cat))
+                    )
+                    epoch_metrics[f"val/dsLayer{l + 1}_mIoU"] = float(iou_l.mean())
+            if val_miou >= max(val_mious):
+                ckpt.save(epoch, state, metric=val_miou)
+        logger.log(epoch_metrics)
+
+    logger.close()
+    ckpt.close()
+    return {"best_miou": best_miou, "state": state}

@@ -1,0 +1,46 @@
+"""Profiling helpers: step timing, FLOPs, XLA trace capture.
+
+Reference has none (ptflops is pinned but never imported, SURVEY.md §5).
+TPU-native equivalents: ``jax.profiler`` traces and compiler cost analysis.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from typing import Any, Callable, Optional
+
+import jax
+
+
+def flops_estimate(fn: Callable, *args, **kwargs) -> Optional[float]:
+    """FLOPs of ``fn(*args)`` from XLA cost analysis (None if unavailable)."""
+    try:
+        lowered = jax.jit(fn).lower(*args, **kwargs)
+        cost = lowered.compile().cost_analysis()
+        if isinstance(cost, list):  # older jax returns a list per computation
+            cost = cost[0]
+        return float(cost.get("flops", 0.0))
+    except Exception:
+        return None
+
+
+@contextlib.contextmanager
+def step_timer(sync: Any = None):
+    """Wall-clock a block, blocking on ``sync`` (an array) at exit."""
+    t0 = time.perf_counter()
+    holder = {}
+    yield holder
+    if sync is not None:
+        jax.block_until_ready(sync)
+    holder["seconds"] = time.perf_counter() - t0
+
+
+@contextlib.contextmanager
+def trace(logdir: str):
+    """jax.profiler trace context (view with TensorBoard / xprof)."""
+    jax.profiler.start_trace(logdir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()

@@ -1,0 +1,88 @@
+"""Differential tests: Pallas kernels (interpret mode) vs the pure-XLA ops."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from samble_tpu import ops
+from samble_tpu.ops.neighbors import _normalize_pair, mask_from_idx
+from samble_tpu.ops.attention import attention_point_score
+from samble_tpu.kernels.knn import knn_pallas
+from samble_tpu.kernels.score import (
+    FUSED_IDX_MODES,
+    score_from_colsums,
+    sparse_attention_score_pallas,
+)
+
+
+@pytest.mark.parametrize("n,m,c,k", [(64, 64, 8, 5), (96, 64, 16, 7)])
+def test_knn_pallas_matches_xla(n, m, c, k):
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.normal(size=(2, n, c)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(2, m, c)).astype(np.float32))
+    ref_dist, ref_idx = ops.knn(a, b, k)
+    an, bn = _normalize_pair(a, b)
+    dist, idx = knn_pallas(an, bn, k, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(dist), np.asarray(ref_dist), rtol=1e-4, atol=1e-5
+    )
+    # indices may differ only on exact distance ties
+    same = np.asarray(idx) == np.asarray(ref_idx)
+    if not same.all():
+        d_sorted = np.asarray(ref_dist)
+        mism = np.argwhere(~same)
+        for b_, i_, k_ in mism:
+            assert np.isclose(
+                d_sorted[b_, i_, k_], np.asarray(dist)[b_, i_, k_], atol=1e-5
+            )
+
+
+def test_knn_pallas_self_query():
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(1, 128, 8)).astype(np.float32))
+    xn, _ = _normalize_pair(x, x)
+    _, idx = knn_pallas(xn, xn, 4, interpret=True)
+    np.testing.assert_array_equal(
+        np.asarray(idx[0, :, 0]), np.arange(128)
+    )
+
+
+@pytest.mark.parametrize("idx_mode", list(FUSED_IDX_MODES))
+def test_score_kernel_matches_xla(idx_mode):
+    rng = np.random.default_rng(2)
+    b, n, d, nb, kk = 2, 64, 16, 6, 8
+    q = jnp.asarray(rng.normal(size=(b, n, d)).astype(np.float32))
+    keys = jnp.asarray(rng.normal(size=(b, n + nb, d)).astype(np.float32))
+    x = jnp.asarray(rng.normal(size=(b, n, 3)).astype(np.float32))
+    nb_idx = ops.knn(x, x, kk)[1]
+    scale = 1.0 / np.sqrt(d)
+
+    # XLA reference path: full maps
+    energy = jnp.einsum("bnd,bmd->bnm", q, keys) * scale
+    attn = jax.nn.softmax(energy, axis=-1)
+    attention_points = attn[..., :n]
+    mask = mask_from_idx(nb_idx, n)
+    ref = attention_point_score(attention_points[:, None], mask, idx_mode, kk)[:, 0]
+
+    cm, cf, cc = sparse_attention_score_pallas(q, keys, nb_idx, scale, interpret=True)
+    got = score_from_colsums(cm, cf, cc, idx_mode)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=1e-6)
+
+
+def test_score_kernel_nonaligned_shapes():
+    # N not a multiple of 128 and tokens padding the key columns
+    rng = np.random.default_rng(3)
+    b, n, d, nb, kk = 1, 96, 8, 4, 5
+    q = jnp.asarray(rng.normal(size=(b, n, d)).astype(np.float32))
+    keys = jnp.asarray(rng.normal(size=(b, n + nb, d)).astype(np.float32))
+    x = jnp.asarray(rng.normal(size=(b, n, 3)).astype(np.float32))
+    nb_idx = ops.knn(x, x, kk)[1]
+    scale = 0.25
+    energy = jnp.einsum("bnd,bmd->bnm", q, keys) * scale
+    attn = jax.nn.softmax(energy, axis=-1)
+    mask = mask_from_idx(nb_idx, n)
+    ref = attention_point_score(attn[..., :n][:, None], mask, "sparse_col_sqr", kk)[:, 0]
+    cm, cf, cc = sparse_attention_score_pallas(q, keys, nb_idx, scale, interpret=True)
+    got = score_from_colsums(cm, cf, cc, "sparse_col_sqr")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=1e-6)
