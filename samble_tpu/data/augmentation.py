@@ -77,6 +77,44 @@ def anisotropic_scale(
     return pcd * scale
 
 
+def rotate_perturbation_with_normal(
+    key: jax.Array, pcd_normal: jax.Array, std: float = 0.06, clip: float = 0.18
+):
+    """Small random 3-axis rotation of xyz+normal clouds
+    (data_augmentation.py:79-115)."""
+    angles = jnp.clip(std * jax.random.normal(key, (3,)), -clip, clip)
+    cx, sx = jnp.cos(angles[0]), jnp.sin(angles[0])
+    cy, sy = jnp.cos(angles[1]), jnp.sin(angles[1])
+    cz, sz = jnp.cos(angles[2]), jnp.sin(angles[2])
+    rx = jnp.array([[1.0, 0, 0], [0, cx, -sx], [0, sx, cx]])
+    ry = jnp.array([[cy, 0, sy], [0, 1.0, 0], [-sy, 0, cy]])
+    rz = jnp.array([[cz, -sz, 0], [sz, cz, 0], [0, 0, 1.0]])
+    rot = rz @ ry @ rx
+    xyz = pcd_normal[:, :3] @ rot
+    normal = pcd_normal[:, 3:6] @ rot
+    return jnp.concatenate([xyz, normal], axis=-1)
+
+
+def rotate_with_normal(key: jax.Array, pcd_normal: jax.Array, angle_range=None):
+    """Y-axis rotation of xyz+normal clouds (data_augmentation.py:118-140).
+
+    Quirk preserved: when ``angle_range`` is None the reference draws an
+    angle in [0, 2π) *radians* then converts it by π/180 again — i.e. a tiny
+    rotation; with a range the angle is in degrees."""
+    if angle_range is None:
+        angle = jax.random.uniform(key, ()) * 2.0 * jnp.pi
+    else:
+        angle = jax.random.uniform(
+            key, (), minval=angle_range[0], maxval=angle_range[1]
+        )
+    angle = jnp.pi * angle / 180.0
+    c, s = jnp.cos(angle), jnp.sin(angle)
+    rot = jnp.array([[c, 0, s], [0, 1.0, 0], [-s, 0, c]])
+    xyz = pcd_normal[:, :3] @ rot
+    normal = pcd_normal[:, 3:6] @ rot
+    return jnp.concatenate([xyz, normal], axis=-1)
+
+
 def make_batch_augment(aug_cfg: Any) -> Callable[[jax.Array, jax.Array], jax.Array]:
     """Build ``augment(key, batch (B,N,3)) -> (B,N,3)`` from the config node
     ``train.dataloader.data_augmentation``.

@@ -19,6 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from samble_tpu.config import check_config
+from samble_tpu.ops.sampling import fps as ops_fps
 from samble_tpu.data import (
     BatchLoader,
     ModelNetDataset,
@@ -94,14 +95,25 @@ def train_modelnet(cfg, workdir: str, synthetic_data: bool = False) -> Dict[str,
     train_set, test_set = _load_modelnet(cfg, synthetic_data)
     dl = cfg.train.dataloader
     bs = int(dl.batch_size_per_gpu) * jax.device_count()
+    n_sel = int(dl.selected_points)
+    # FPS subsampling (utils/dataloader.py:159-169): select the per-cloud
+    # point budget by farthest-point sampling on device instead of the
+    # host-side random choice.
+    use_fps = bool(dl.get("fps", False))
+    loader_sel = train_set.pcd.shape[1] if use_fps else n_sel
+    fps_select = (
+        jax.jit(lambda key, pts: ops_fps(key, pts, pts[..., :3], n_sel)[0])
+        if use_fps
+        else None
+    )
     train_loader = BatchLoader(
         train_set.pcd, train_set.label, batch_size=bs,
-        selected_points=int(dl.selected_points), shuffle=True,
+        selected_points=loader_sel, shuffle=True,
         drop_last=True, seed=seed,
     )
     val_loader = BatchLoader(
         test_set.pcd, test_set.label, batch_size=bs,
-        selected_points=int(dl.selected_points), shuffle=False,
+        selected_points=loader_sel, shuffle=False,
         drop_last=False, seed=seed + 1,
     )
 
@@ -130,13 +142,27 @@ def train_modelnet(cfg, workdir: str, synthetic_data: bool = False) -> Dict[str,
     epochs = int(cfg.train.epochs)
     val_freq = int(cfg.train.validation_freq)
 
+    debug_nan = bool(cfg.select("train.debug.enable", False)) and bool(
+        cfg.select("train.debug.nan_check", True)
+    )
+
     for epoch in range(epochs):
         t0 = time.time()
         losses, preds_all, labels_all = [], [], []
-        for batch in train_loader:
+        for bi, batch in enumerate(train_loader):
             points, label, _ = batch
             points, label = shard_batch(mesh, (points, label))
+            if use_fps:
+                points = fps_select(
+                    jax.random.fold_in(jax.random.key(seed + 3), epoch * 65536 + bi),
+                    points,
+                )
             state, out = train_step(state, (points, label), rng)
+            if debug_nan and not np.isfinite(float(out["loss"])):
+                raise FloatingPointError(
+                    f"non-finite train loss at epoch {epoch} step {bi}: "
+                    f"{float(out['loss'])}"
+                )
             losses.append(out["loss"])
             preds_all.append(np.asarray(out["preds"]))
             labels_all.append(label)
@@ -158,6 +184,8 @@ def train_modelnet(cfg, workdir: str, synthetic_data: bool = False) -> Dict[str,
                 points, label, valid = batch
                 points_d = shard_batch(mesh, points)
                 key = jax.random.fold_in(jax.random.key(seed + 2), i)
+                if use_fps:
+                    points_d = fps_select(jax.random.fold_in(key, 1), points_d)
                 if use_vote:
                     out = vote_step(state, points_d, None, key)
                 else:
@@ -193,14 +221,27 @@ def train_shapenet(cfg, workdir: str, synthetic_data: bool = False) -> Dict[str,
     dl = cfg.train.dataloader
     bs = int(dl.batch_size_per_gpu) * jax.device_count()
     n_sel = int(dl.selected_points)
+    use_fps = bool(dl.get("fps", False))
+    loader_sel = train_set.pcd.shape[1] if use_fps else n_sel
+    fps_idx_fn = (
+        jax.jit(lambda key, pts: ops_fps(key, pts, pts[..., :3], n_sel)[1])
+        if use_fps
+        else None
+    )
     train_loader = BatchLoader(
         train_set.pcd, train_set.label, train_set.seg, batch_size=bs,
-        selected_points=n_sel, shuffle=True, drop_last=True, seed=seed,
+        selected_points=loader_sel, shuffle=True, drop_last=True, seed=seed,
     )
     val_loader = BatchLoader(
         test_set.pcd, test_set.label, test_set.seg, batch_size=bs,
-        selected_points=n_sel, shuffle=False, drop_last=False, seed=seed + 1,
+        selected_points=loader_sel, shuffle=False, drop_last=False, seed=seed + 1,
     )
+
+    def _fps_batch(key, points, seg):
+        idx = fps_idx_fn(key, points)
+        pts = np.take_along_axis(np.asarray(points), np.asarray(idx)[..., None], 1)
+        sg = np.take_along_axis(np.asarray(seg), np.asarray(idx), 1)
+        return pts, sg
 
     mesh = make_mesh()
     model = SegModel(cfg=cfg, num_parts=50, train=True)
@@ -236,13 +277,26 @@ def train_shapenet(cfg, workdir: str, synthetic_data: bool = False) -> Dict[str,
     val_freq = int(cfg.train.validation_freq)
     num_ds = len(cfg.feature_learning_block.downsample.M)
 
+    debug_nan = bool(cfg.select("train.debug.enable", False)) and bool(
+        cfg.select("train.debug.nan_check", True)
+    )
+
     for epoch in range(epochs):
         t0 = time.time()
         losses, ious, cats = [], [], []
-        for batch in train_loader:
+        for bi, batch in enumerate(train_loader):
             points, label, seg, _ = batch
+            if use_fps:
+                points, seg = _fps_batch(
+                    jax.random.fold_in(jax.random.key(seed + 3), epoch * 65536 + bi),
+                    points, seg,
+                )
             points, label, seg = shard_batch(mesh, (points, label, seg))
             state, out = train_step(state, (points, seg, label), rng)
+            if debug_nan and not np.isfinite(float(out["loss"])):
+                raise FloatingPointError(
+                    f"non-finite train loss at epoch {epoch} step {bi}"
+                )
             losses.append(float(out["loss"]))
             ious.append(np.asarray(shape_iou_fn(out["preds"], seg, label)))
             cats.append(np.asarray(label))
@@ -262,8 +316,10 @@ def train_shapenet(cfg, workdir: str, synthetic_data: bool = False) -> Dict[str,
             ds_labels = [[] for _ in range(num_ds)]
             for i, batch in enumerate(val_loader):
                 points, label, seg, valid = batch
-                points_d, label_d = shard_batch(mesh, (points, label))
                 key = jax.random.fold_in(jax.random.key(seed + 2), i)
+                if use_fps:
+                    points, seg = _fps_batch(jax.random.fold_in(key, 1), points, seg)
+                points_d, label_d = shard_batch(mesh, (points, label))
                 if use_vote:
                     out = vote_step(state, points_d, label_d, key)
                 else:

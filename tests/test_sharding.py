@@ -1,0 +1,93 @@
+"""Multi-device consistency: the sharded train step must compute exactly the
+same result as the unsharded one (global-view semantics make the reference's
+DDP gradient sync / SyncBN / bin-boundary all_reduce implicit)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from samble_tpu.models import ClsModel
+from samble_tpu.parallel import make_mesh, replicate_state, shard_batch
+from samble_tpu.train.schedules import make_optimizer
+from samble_tpu.train.state import create_train_state
+from samble_tpu.train.step import make_train_step
+from tests._tiny_configs import N, tiny_cls_config
+
+B = 8  # divisible by the 8-device mesh
+
+
+def _setup():
+    cfg = tiny_cls_config()
+    cfg.train = {
+        "lr": 1e-3,
+        "epochs": 2,
+        "lr_scheduler": {"enable": False},
+        "optimizer": {"which": "adamw", "weight_decay": 1e-4},
+        "label_smoothing": False,
+        "grad_clip": {"enable": False},
+    }
+    model = ClsModel(cfg=cfg, train=True)
+    tx = make_optimizer(cfg.train, steps_per_epoch=4)
+    example = (np.zeros((B, N, 3), np.float32),)
+    state = create_train_state(model, example, tx, jax.random.key(0))
+    step = make_train_step(model, cfg, "cls", 40, donate=False)
+    rng = np.random.default_rng(0)
+    points = rng.normal(size=(B, N, 3)).astype(np.float32)
+    label = rng.integers(0, 40, B).astype(np.int32)
+    return state, step, points, label
+
+
+def test_sharded_step_matches_unsharded():
+    assert jax.device_count() >= 8, "conftest must provide 8 virtual devices"
+    state, step, points, label = _setup()
+
+    # unsharded (single-device semantics)
+    s1, out1 = step(state, (jnp.asarray(points), jnp.asarray(label)),
+                    jax.random.key(3))
+
+    # sharded over the 8-device mesh
+    mesh = make_mesh(jax.devices()[:8])
+    state_r = replicate_state(mesh, state)
+    pts_s, lbl_s = shard_batch(mesh, (points, label))
+    s2, out2 = step(state_r, (pts_s, lbl_s), jax.random.key(3))
+
+    np.testing.assert_allclose(
+        float(out1["loss"]), float(out2["loss"]), rtol=1e-4
+    )
+    # Sharded execution reassociates f32 reductions; when a point score sits
+    # within ~1e-7 of a bin boundary or a top-k cliff, the *sampled index
+    # set* can flip, legitimately changing gradients of affected layers.
+    # A sharding bug (missing gradient sync / wrong collective) would
+    # diverge essentially every element — assert that the overwhelming
+    # majority agree tightly instead of demanding bitwise equality.
+    a1 = np.concatenate(
+        [np.asarray(x).ravel() for x in jax.tree_util.tree_leaves(s1.params)]
+    )
+    a2 = np.concatenate(
+        [np.asarray(x).ravel() for x in jax.tree_util.tree_leaves(s2.params)]
+    )
+    mismatch = np.abs(a1 - a2) > (1e-3 * np.abs(a1) + 1e-5)
+    assert mismatch.mean() < 0.01, (
+        f"{mismatch.mean():.2%} of parameters diverged between sharded and "
+        "unsharded steps — this indicates a gradient-sync bug, not tie noise"
+    )
+    # bin-boundary state (the reference's in-forward all_reduce) also agrees
+    b1 = jax.tree_util.tree_leaves(s1.bin_stats)
+    b2 = jax.tree_util.tree_leaves(s2.bin_stats)
+    for a, b in zip(b1, b2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3,
+                                   atol=1e-6)
+
+
+def test_sharded_multiple_steps_stay_finite():
+    state, step, points, label = _setup()
+    mesh = make_mesh(jax.devices()[:8])
+    state = replicate_state(mesh, state)
+    rng = np.random.default_rng(1)
+    for i in range(3):
+        pts = rng.normal(size=(B, N, 3)).astype(np.float32)
+        lbl = rng.integers(0, 40, B).astype(np.int32)
+        pts, lbl = shard_batch(mesh, (pts, lbl))
+        state, out = step(state, (pts, lbl), jax.random.key(i))
+        assert np.isfinite(float(out["loss"]))
