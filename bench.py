@@ -35,14 +35,20 @@ def main():
 
     root = os.path.dirname(os.path.abspath(__file__))
     n_points = 1024
+    import jax.numpy as jnp
+
     cfg = load_config(
         os.path.join(root, "configs", "default.yaml"),
         dataset_path=os.path.join(root, "configs", "datasets", "modelnet.yaml"),
         usr_config_path=os.path.join(root, "configs", "cls.yaml"),
         cli_overrides=[f"train.dataloader.selected_points={n_points}"],
     )
-    model_train = ClsModel(cfg=cfg, num_classes=40, train=True)
-    model_eval = ClsModel(cfg=cfg, num_classes=40, train=False)
+    # serving configuration: bfloat16 compute (set SAMBLE_BENCH_F32=1 for f32)
+    dtype = (
+        jnp.float32 if os.environ.get("SAMBLE_BENCH_F32") == "1" else jnp.bfloat16
+    )
+    model_train = ClsModel(cfg=cfg, num_classes=40, train=True, dtype=dtype)
+    model_eval = ClsModel(cfg=cfg, num_classes=40, train=False, dtype=dtype)
 
     rng = np.random.default_rng(0)
     init_points = rng.normal(size=(8, n_points, 3)).astype(np.float32)
@@ -68,14 +74,15 @@ def main():
         points = rng.normal(size=(bs, n_points, 3)).astype(np.float32)
         points = jax.device_put(points)
         try:
-            # warmup (compile + 2 steady); block every call — async dispatch
-            # over the device tunnel otherwise returns bogus timings
+            # warmup (compile + 2 steady).  Force a host readback per call:
+            # on the tunnelled 'axon' backend block_until_ready can resolve
+            # before remote execution completes, producing bogus timings.
             for _ in range(3):
-                jax.block_until_ready(forward(variables, points))
+                float(np.asarray(forward(variables, points)).sum())
             iters = 5
             t0 = time.perf_counter()
             for _ in range(iters):
-                jax.block_until_ready(forward(variables, points))
+                float(np.asarray(forward(variables, points)).sum())
             dt = time.perf_counter() - t0
             cps = bs * iters / dt
         except Exception as e:  # OOM at large batch etc.
@@ -94,6 +101,7 @@ def main():
                 "unit": "clouds/sec",
                 "vs_baseline": round(vs, 3),
                 "batch_size": best_bs,
+                "dtype": str(dtype.__name__),
                 "device": str(jax.devices()[0]),
             }
         )

@@ -34,6 +34,7 @@ class ClsFeatureBlock(nn.Module):
     num_classes: int = 40
     fps: bool = False
     train: bool = True
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array):
@@ -49,17 +50,18 @@ class ClsFeatureBlock(nn.Module):
                 conv2_out=blk.embedding.conv2_out[layer],
                 normal_channel=blk.embedding.get("normal_channel", False),
                 train=self.train,
+                dtype=self.dtype,
             )(x)
             emb_outs.append(x)
         x = jnp.concatenate(emb_outs, axis=-1)  # (B, N, ΣC)
 
-        x = make_attention_layer(blk.attention, 0, self.train)(x)
+        x = make_attention_layer(blk.attention, 0, self.train, self.dtype)(x)
 
         res_link_enable = blk.res_link.enable
         num_ds = len(blk.downsample.M)
         aux_list = []
         if res_link_enable:
-            res_links = [jnp.max(Conv1x1(1024)(x), axis=1)]
+            res_links = [jnp.max(Conv1x1(1024, dtype=self.dtype)(x), axis=1)]
             for i in range(num_ds):
                 if self.fps:
                     # FPS pre-pool to 2M points, then attention-downsample
@@ -69,29 +71,29 @@ class ClsFeatureBlock(nn.Module):
                     fps_idx = ops.farthest_point_sample(key, x_xyz, m2)
                     x = ops.gather_by_idx(x, fps_idx)
                     x_xyz_d = ops.gather_by_idx(x_xyz, fps_idx)
-                    x, idx, _, aux = make_downsample(blk.downsample, i, self.train)(
+                    x, idx, _, aux = make_downsample(blk.downsample, i, self.train, self.dtype)(
                         x, x_xyz_d
                     )
                     idx = jnp.take_along_axis(fps_idx, idx, axis=1)
                 else:
-                    x, idx, _, aux = make_downsample(blk.downsample, i, self.train)(
+                    x, idx, _, aux = make_downsample(blk.downsample, i, self.train, self.dtype)(
                         x, x_xyz
                     )
-                x = make_attention_layer(blk.attention, i + 1, self.train)(x)
+                x = make_attention_layer(blk.attention, i + 1, self.train, self.dtype)(x)
                 x_xyz = ops.gather_by_idx(x_xyz, idx)
-                res_links.append(jnp.max(Conv1x1(1024)(x), axis=1))
+                res_links.append(jnp.max(Conv1x1(1024, dtype=self.dtype)(x), axis=1))
                 aux_list.append(aux)
             feat = jnp.concatenate(res_links, axis=-1)  # (B, 1024 * stages)
             return feat, aux_list
         else:
             for i in range(num_ds):
-                x, idx, _, aux = make_downsample(blk.downsample, i, self.train)(
+                x, idx, _, aux = make_downsample(blk.downsample, i, self.train, self.dtype)(
                     x, x_xyz
                 )
-                x = make_attention_layer(blk.attention, i + 1, self.train)(x)
+                x = make_attention_layer(blk.attention, i + 1, self.train, self.dtype)(x)
                 x_xyz = ops.gather_by_idx(x_xyz, idx)
                 aux_list.append(aux)
-            feat = jnp.max(Conv1x1(1024)(x), axis=1)  # (B, 1024)
+            feat = jnp.max(Conv1x1(1024, dtype=self.dtype)(x), axis=1)  # (B, 1024)
             return feat, aux_list
 
 
@@ -107,25 +109,29 @@ class ClsModel(nn.Module):
     num_classes: int = 40
     fps: bool = False
     train: bool = True
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array):
         blk = self.cfg.feature_learning_block
         feat, aux_list = ClsFeatureBlock(
-            cfg=blk, num_classes=self.num_classes, fps=self.fps, train=self.train
+            cfg=blk, num_classes=self.num_classes, fps=self.fps,
+            train=self.train, dtype=self.dtype,
         )(x)
 
         det = not self.train
         if blk.res_link.enable:
-            h = nn.Dense(1024)(feat)
-            h = PointBatchNorm(use_running_average=det)(h)
+            h = nn.Dense(1024, dtype=self.dtype, param_dtype=jnp.float32)(feat)
+            h = PointBatchNorm(use_running_average=det, dtype=self.dtype)(h)
             h = leaky_relu(h)
             h = nn.Dropout(0.5, deterministic=det)(h)
         else:
             h = feat
-        h = nn.Dense(256)(h)
-        h = PointBatchNorm(use_running_average=det)(h)
+        h = nn.Dense(256, dtype=self.dtype, param_dtype=jnp.float32)(h)
+        h = PointBatchNorm(use_running_average=det, dtype=self.dtype)(h)
         h = leaky_relu(h)
         h = nn.Dropout(0.5, deterministic=det)(h)
-        logits = nn.Dense(self.num_classes)(h)
+        logits = nn.Dense(self.num_classes, param_dtype=jnp.float32)(
+            h.astype(jnp.float32)
+        )
         return logits, {"downsample": aux_list}

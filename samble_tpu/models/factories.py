@@ -10,6 +10,8 @@ from __future__ import annotations
 
 from typing import Any
 
+import jax.numpy as jnp
+
 from samble_tpu.nn import (
     DownSampleCarve,
     DownSampleGlobal,
@@ -23,7 +25,8 @@ from samble_tpu.nn import (
 )
 
 
-def make_attention_layer(att_cfg: Any, layer: int, train: bool):
+def make_attention_layer(att_cfg: Any, layer: int, train: bool,
+                         dtype: Any = jnp.float32):
     """Feature-learning layer: n2p (default) or p2p (models/cls_model.py:64-83)."""
     which = att_cfg.get("fl_which", "n2p")
     if which == "n2p":
@@ -39,6 +42,7 @@ def make_attention_layer(att_cfg: Any, layer: int, train: bool):
             ff_hidden=att_cfg.ff_conv1_channels_out[layer],
             ff_out=att_cfg.ff_conv2_channels_out[layer],
             train=train,
+            dtype=dtype,
         )
     if which == "p2p":
         return Point2PointAttention(
@@ -50,11 +54,13 @@ def make_attention_layer(att_cfg: Any, layer: int, train: bool):
             ff_hidden=att_cfg.ff_conv1_channels_out[layer],
             ff_out=att_cfg.ff_conv2_channels_out[layer],
             train=train,
+            dtype=dtype,
         )
     raise ValueError(f"fl_which must be n2p or p2p, got {which}")
 
 
-def make_downsample(ds_cfg: Any, layer: int, train: bool):
+def make_downsample(ds_cfg: Any, layer: int, train: bool,
+                    dtype: Any = jnp.float32):
     """Downsampler dispatch (models/cls_model.py:26-63)."""
     which = ds_cfg.ds_which
     res_cfg = ds_cfg.get("res")
@@ -71,6 +77,7 @@ def make_downsample(ds_cfg: Any, layer: int, train: bool):
         res=res,
         ff=ff,
         train=train,
+        dtype=dtype,
     )
     if which == "token":
         bin_cfg = ds_cfg.bin
@@ -115,7 +122,8 @@ def make_downsample(ds_cfg: Any, layer: int, train: bool):
     raise ValueError(f"ds_which must be token/global_carve/local/global, got {which}")
 
 
-def make_upsample(us_cfg: Any, layer: int, train: bool):
+def make_upsample(us_cfg: Any, layer: int, train: bool,
+                  dtype: Any = jnp.float32):
     """Upsampler dispatch (models/seg_model.py:68-94)."""
     which = us_cfg.us_which
     if which == "crossA":
@@ -125,6 +133,7 @@ def make_upsample(us_cfg: Any, layer: int, train: bool):
             k_out=us_cfg.k_out[layer],
             v_out=us_cfg.v_out[layer],
             train=train,
+            dtype=dtype,
         )
     if which == "selfA":
         return UpSampleSelfAttention(
@@ -133,6 +142,7 @@ def make_upsample(us_cfg: Any, layer: int, train: bool):
             k_out=us_cfg.k_out[layer],
             v_out=us_cfg.v_out[layer],
             train=train,
+            dtype=dtype,
         )
     if which == "interpolation":
         return UpSampleInterpolation(
@@ -140,5 +150,6 @@ def make_upsample(us_cfg: Any, layer: int, train: bool):
             distance_type=us_cfg.interpolation.distance_type[layer],
             k=us_cfg.interpolation.K[layer],
             train=train,
+            dtype=dtype,
         )
     raise ValueError(f"us_which must be crossA/selfA/interpolation, got {which}")

@@ -36,6 +36,7 @@ class SegFeatureBlock(nn.Module):
 
     cfg: Any  # feature_learning_block config node
     train: bool = True
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array):
@@ -51,10 +52,11 @@ class SegFeatureBlock(nn.Module):
                 conv2_out=blk.embedding.conv2_out[layer],
                 normal_channel=blk.embedding.get("normal_channel", False),
                 train=self.train,
+                dtype=self.dtype,
             )(x)
             emb_outs.append(x)
         x = jnp.concatenate(emb_outs, axis=-1)
-        x = make_attention_layer(blk.attention, 0, self.train)(x)
+        x = make_attention_layer(blk.attention, 0, self.train, self.dtype)(x)
 
         num_ds = len(blk.downsample.M)
         num_att = len(blk.attention.K)
@@ -66,10 +68,10 @@ class SegFeatureBlock(nn.Module):
         drop_stack = []
         aux_list = []
         for i in range(num_ds):
-            x, idx, dropped, aux = make_downsample(blk.downsample, i, self.train)(
+            x, idx, dropped, aux = make_downsample(blk.downsample, i, self.train, self.dtype)(
                 x, x_xyz
             )
-            x = make_attention_layer(blk.attention, i + 1, self.train)(x)
+            x = make_attention_layer(blk.attention, i + 1, self.train, self.dtype)(x)
             x_xyz = ops.gather_by_idx(x_xyz, idx)
             x_stack.append(x)
             xyz_stack.append(x_xyz)
@@ -89,7 +91,7 @@ class SegFeatureBlock(nn.Module):
             # decoder level j upsamples to the resolution of xyz_{nd-1-j}
             # (models/seg_model.py:123-126).
             pcd_up_xyz = xyz_stack[num_ds - 1 - j]
-            us = make_upsample(blk.upsample, j, self.train)
+            us = make_upsample(blk.upsample, j, self.train, self.dtype)
             kwargs = dict(
                 pcd_up=pcd_up,
                 points_select=sel_x,
@@ -100,7 +102,7 @@ class SegFeatureBlock(nn.Module):
             if sel_drop is not None:
                 kwargs["points_drop"], kwargs["idx_drop"] = sel_drop
             x = us(**kwargs)
-            x = make_attention_layer(blk.attention, j + 1 + split, self.train)(x)
+            x = make_attention_layer(blk.attention, j + 1 + split, self.train, self.dtype)(x)
             if j < num_ds - 1:
                 sel_x = x
                 sel_idx = idx_stack.pop()
@@ -120,6 +122,7 @@ class SegModel(nn.Module):
     num_parts: int = 50
     num_categories: int = 16
     train: bool = True
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, category_onehot: jax.Array):
@@ -134,31 +137,33 @@ class SegModel(nn.Module):
             trans = STN(train=self.train)(grouped)  # (B, 3, 3)
             x = jnp.einsum("bnc,bcd->bnd", x, trans)
 
-        x_tmp, aux_list = SegFeatureBlock(cfg=blk, train=self.train)(x)
+        x_tmp, aux_list = SegFeatureBlock(
+            cfg=blk, train=self.train, dtype=self.dtype
+        )(x)
         # x_tmp: (B, N, C)
 
-        h = Conv1x1(1024)(x_tmp)
-        h = PointBatchNorm(use_running_average=det)(h)
+        h = Conv1x1(1024, dtype=self.dtype)(x_tmp)
+        h = PointBatchNorm(use_running_average=det, dtype=self.dtype)(h)
         h = leaky_relu(h)  # (B, N, 1024)
         h_max = jnp.max(h, axis=1)  # (B, 1024)
         h_avg = jnp.mean(h, axis=1)  # (B, 1024)
         global_feat = jnp.concatenate([h_max, h_avg], axis=-1)  # (B, 2048)
 
-        cat = Conv1x1(64)(category_onehot)
-        cat = PointBatchNorm(use_running_average=det)(cat)
+        cat = Conv1x1(64, dtype=self.dtype)(category_onehot.astype(self.dtype))
+        cat = PointBatchNorm(use_running_average=det, dtype=self.dtype)(cat)
         cat = leaky_relu(cat)  # (B, 64)
 
         g = jnp.concatenate([global_feat, cat], axis=-1)  # (B, 2112)
         g = jnp.broadcast_to(g[:, None, :], (b, n, g.shape[-1]))
-        h = jnp.concatenate([g, x_tmp], axis=-1)  # (B, N, 2112 + C)
+        h = jnp.concatenate([g, x_tmp.astype(g.dtype)], axis=-1)
 
-        h = Conv1x1(1024)(h)
-        h = PointBatchNorm(use_running_average=det)(h)
+        h = Conv1x1(1024, dtype=self.dtype)(h)
+        h = PointBatchNorm(use_running_average=det, dtype=self.dtype)(h)
         h = leaky_relu(h)
         h = nn.Dropout(0.5, deterministic=det)(h)
-        h = Conv1x1(256)(h)
-        h = PointBatchNorm(use_running_average=det)(h)
+        h = Conv1x1(256, dtype=self.dtype)(h)
+        h = PointBatchNorm(use_running_average=det, dtype=self.dtype)(h)
         h = leaky_relu(h)
         h = nn.Dropout(0.5, deterministic=det)(h)
-        logits = Conv1x1(self.num_parts)(h)  # (B, N, num_parts)
+        logits = Conv1x1(self.num_parts)(h.astype(jnp.float32))
         return logits, {"downsample": aux_list, "trans": trans}

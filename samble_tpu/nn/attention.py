@@ -11,6 +11,7 @@ reproduced.
 from __future__ import annotations
 
 import math
+from typing import Any
 
 import flax.linen as nn
 import jax
@@ -38,6 +39,7 @@ class Neighbor2PointAttention(nn.Module):
     ff_hidden: int
     ff_out: int
     train: bool = True
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -48,9 +50,10 @@ class Neighbor2PointAttention(nn.Module):
         # the (B, N, K, C) grouped tensor (models/attention.py:175-181 —
         # K times the FLOPs) into a per-point matmul plus a gather.  Exact.
         idx = ops.neighbors.knn_indices(x, self.k)  # (B, N, K)
-        q = split_heads(Conv1x1(self.q_out)(x), self.num_heads)  # (B, N, H, D)
-        k_pt = Conv1x1(self.k_out)(x)  # (B, N, C)
-        v_pt = Conv1x1(self.v_out)(x)
+        x = x.astype(self.dtype)
+        q = split_heads(Conv1x1(self.q_out, dtype=self.dtype)(x), self.num_heads)
+        k_pt = Conv1x1(self.k_out, dtype=self.dtype)(x)  # (B, N, C)
+        v_pt = Conv1x1(self.v_out, dtype=self.dtype)(x)
         k_nb = ops.index_points(k_pt, idx)  # (B, N, K, C)
         v_nb = ops.index_points(v_pt, idx)
         if self.group_type == "diff":
@@ -87,11 +90,15 @@ class Neighbor2PointAttention(nn.Module):
             )
 
         out = merge_heads(out)  # (B, N, v_out)
-        x = PointBatchNorm(use_running_average=not self.train)(x + out)
-        ff = Conv1x1(self.ff_hidden)(x)
+        x = PointBatchNorm(
+            use_running_average=not self.train, dtype=self.dtype
+        )(x + out)
+        ff = Conv1x1(self.ff_hidden, dtype=self.dtype)(x)
         ff = leaky_relu(ff)
-        ff = Conv1x1(self.ff_out)(ff)
-        return PointBatchNorm(use_running_average=not self.train)(x + ff)
+        ff = Conv1x1(self.ff_out, dtype=self.dtype)(ff)
+        return PointBatchNorm(
+            use_running_average=not self.train, dtype=self.dtype
+        )(x + ff)
 
 
 class Point2PointAttention(nn.Module):
@@ -108,13 +115,15 @@ class Point2PointAttention(nn.Module):
     ff_hidden: int
     ff_out: int
     train: bool = True
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         # x: (B, N, C)
-        q = split_heads(Conv1x1(self.q_out)(x), self.num_heads)  # (B, N, H, D)
-        kk = split_heads(Conv1x1(self.k_out)(x), self.num_heads)
-        v = split_heads(Conv1x1(self.v_out)(x), self.num_heads)
+        x = x.astype(self.dtype)
+        q = split_heads(Conv1x1(self.q_out, dtype=self.dtype)(x), self.num_heads)
+        kk = split_heads(Conv1x1(self.k_out, dtype=self.dtype)(x), self.num_heads)
+        v = split_heads(Conv1x1(self.v_out, dtype=self.dtype)(x), self.num_heads)
 
         qh = jnp.swapaxes(q, 1, 2)  # (B, H, N, D)
         kh = jnp.swapaxes(kk, 1, 2)
@@ -131,8 +140,12 @@ class Point2PointAttention(nn.Module):
         out = jnp.einsum("bhnm,bhmd->bnhd", attn, jnp.swapaxes(v, 1, 2))
         out = merge_heads(out)
 
-        x = PointBatchNorm(use_running_average=not self.train)(x + out)
-        ff = Conv1x1(self.ff_hidden)(x)
+        x = PointBatchNorm(
+            use_running_average=not self.train, dtype=self.dtype
+        )(x + out)
+        ff = Conv1x1(self.ff_hidden, dtype=self.dtype)(x)
         ff = leaky_relu(ff)
-        ff = Conv1x1(self.ff_out)(ff)
-        return PointBatchNorm(use_running_average=not self.train)(x + ff)
+        ff = Conv1x1(self.ff_out, dtype=self.dtype)(ff)
+        return PointBatchNorm(
+            use_running_average=not self.train, dtype=self.dtype
+        )(x + ff)

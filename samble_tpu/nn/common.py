@@ -32,29 +32,42 @@ class PointBatchNorm(nn.Module):
     variance both for the forward pass and the running estimate, whereas
     torch stores the unbiased variance in the running buffer; the effect is
     O(1/(B·N)) on eval outputs.
+
+    Mixed precision: moments and running stats are always f32 (inputs are
+    upcast); the output is cast to ``dtype`` (the reference's AMP autocast
+    similarly keeps BN in f32, train_modelnet.py:324-343).
     """
 
     use_running_average: bool = False
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        return nn.BatchNorm(
+        y = nn.BatchNorm(
             use_running_average=self.use_running_average,
             momentum=0.9,
             epsilon=1e-5,
             dtype=jnp.float32,
-        )(x)
+        )(x.astype(jnp.float32))
+        return y.astype(self.dtype)
 
 
 class Conv1x1(nn.Module):
-    """1×1 convolution == Dense over the channel (last) axis."""
+    """1×1 convolution == Dense over the channel (last) axis.
+
+    ``dtype`` is the computation dtype (bf16 under AMP); params stay f32.
+    """
 
     features: int
     use_bias: bool = False
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        return nn.Dense(self.features, use_bias=self.use_bias)(x)
+        return nn.Dense(
+            self.features, use_bias=self.use_bias,
+            dtype=self.dtype, param_dtype=jnp.float32,
+        )(x)
 
 
 class ConvBNLeaky(nn.Module):
@@ -63,11 +76,14 @@ class ConvBNLeaky(nn.Module):
 
     features: int
     train: bool = True
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        x = Conv1x1(self.features)(x)
-        x = PointBatchNorm(use_running_average=not self.train)(x)
+        x = Conv1x1(self.features, dtype=self.dtype)(x)
+        x = PointBatchNorm(
+            use_running_average=not self.train, dtype=self.dtype
+        )(x)
         return leaky_relu(x)
 
 

@@ -100,11 +100,14 @@ class DownSampleToken(nn.Module):
     res: bool = False
     ff: bool = False
     train: bool = True
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, x_xyz: Optional[jax.Array] = None):
         assert self.num_heads == 1, "downsample modules require num_heads == 1"
         b, n, c = x.shape
+        x_f32 = x  # kNN / scoring stay f32
+        x = x.astype(self.dtype)
         n_tok = self.num_bins if self.token_mode == "multi_token" else 1
 
         # learnable bin tokens, appended to the key/value point set
@@ -115,13 +118,14 @@ class DownSampleToken(nn.Module):
             (n_tok, c),
         )
         x_and_token = jnp.concatenate(
-            [x, jnp.broadcast_to(tokens[None], (b, n_tok, c))], axis=1
+            [x, jnp.broadcast_to(tokens[None].astype(self.dtype), (b, n_tok, c))],
+            axis=1,
         )  # (B, N + n_tok, C)
 
         d = self.q_out // self.num_heads
         scale = 1.0 / math.sqrt(d)
-        k_proj = Conv1x1(self.k_out)(x_and_token)  # (B, N+nt, C)
-        v_proj = Conv1x1(self.v_out)(x_and_token)
+        k_proj = Conv1x1(self.k_out, dtype=self.dtype)(x_and_token)  # (B, N+nt, C)
+        v_proj = Conv1x1(self.v_out, dtype=self.dtype)(x_and_token)
 
         # Fused TPU path: the (N, N+nt) attention map never exists in HBM.
         # The Pallas kernel produces the (stop-grad) column-sum score from
@@ -138,14 +142,14 @@ class DownSampleToken(nn.Module):
         )
 
         if self.asm == "dot":
-            q_proj = Conv1x1(self.q_out)(x)  # (B, N, C)
+            q_proj = Conv1x1(self.q_out, dtype=self.dtype)(x)  # (B, N, C)
         elif self.asm == "l2":
-            q_proj = Conv1x1(self.q_out)(x_and_token)
+            q_proj = Conv1x1(self.q_out, dtype=self.dtype)(x_and_token)
         else:
             raise NotImplementedError(f"asm: {self.asm}")
 
         if fused:
-            nb_idx = ops.neighbors.knn_indices(x, self.k)  # (B, N, K)
+            nb_idx = ops.neighbors.knn_indices(x_f32, self.k)  # (B, N, K)
             cm, cf, cc = kernels.sparse_attention_score_pallas(
                 jax.lax.stop_gradient(q_proj),
                 jax.lax.stop_gradient(k_proj),
@@ -154,7 +158,10 @@ class DownSampleToken(nn.Module):
             score = score_from_colsums(cm, cf, cc, self.idx_mode)[:, None]
             # bin-token logits: differentiable thin slice of the energy
             bins_pre = (
-                jnp.einsum("bnc,btc->bnt", q_proj, k_proj[:, n:]) * scale
+                jnp.einsum("bnc,btc->bnt", q_proj, k_proj[:, n:]).astype(
+                    jnp.float32
+                )
+                * scale
             )  # (B, N, n_tok)
             attn = None
         else:
@@ -162,11 +169,11 @@ class DownSampleToken(nn.Module):
                 energy = jnp.einsum("bnc,bmc->bnm", q_proj, k_proj)
             else:
                 energy = -ops.l2_global(q_proj[:, None], k_proj[:, None])[:, 0, :n, :]
-            pre = energy * scale  # (B, N, N + n_tok) pre-softmax
+            pre = energy.astype(jnp.float32) * scale  # (B, N, N + n_tok)
             attn = jax.nn.softmax(pre, axis=-1)
             attention_points = attn[..., :n]  # (B, N, N)
             bins_pre = pre[..., n:]  # (B, N, n_tok) — differentiable, thin
-            mask = ops.neighbor_mask(x, self.k)  # (B, N, N)
+            mask = ops.neighbor_mask(x_f32, self.k)  # (B, N, N)
             score = jax.lax.stop_gradient(
                 attention_point_score(
                     attention_points[:, None], mask, self.idx_mode, self.k
@@ -235,10 +242,12 @@ class DownSampleToken(nn.Module):
             # the full map; row-wise softmax is identical to the full one)
             q_sel = ops.gather_by_idx(q_proj, idx)  # (B, M, C)
             attn_down = jax.nn.softmax(
-                jnp.einsum("bmc,btc->bmt", q_sel, k_proj) * scale, axis=-1
-            )
+                jnp.einsum("bmc,btc->bmt", q_sel, k_proj).astype(jnp.float32)
+                * scale,
+                axis=-1,
+            ).astype(self.dtype)
         else:
-            attn_down = ops.gather_by_idx(attn, idx)  # (B, M, N + n_tok)
+            attn_down = ops.gather_by_idx(attn, idx).astype(self.dtype)
         x_ds = jnp.einsum("bmn,bnc->bmc", attn_down, v_proj)  # (B, M, C)
 
         if self.res:
@@ -280,17 +289,20 @@ class DownSampleCarve(nn.Module):
     res: bool = False
     ff: bool = False
     train: bool = True
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, x_xyz: Optional[jax.Array] = None):
         assert self.num_heads == 1, "downsample modules require num_heads == 1"
         b, n, c = x.shape
+        x_f32 = x
+        x = x.astype(self.dtype)
         d = self.q_out // self.num_heads
         scale = 1.0 / math.sqrt(d)
 
-        q = Conv1x1(self.q_out)(x)
-        kk = Conv1x1(self.k_out)(x)
-        v = Conv1x1(self.v_out)(x)
+        q = Conv1x1(self.q_out, dtype=self.dtype)(x)
+        kk = Conv1x1(self.k_out, dtype=self.dtype)(x)
+        v = Conv1x1(self.v_out, dtype=self.dtype)(x)
 
         if self.asm == "dot":
             energy = jnp.einsum("bnc,bmc->bnm", q, kk)
@@ -313,9 +325,9 @@ class DownSampleCarve(nn.Module):
                 raise ValueError(f"pe_mode must be III or IV, got {self.pe_mode}")
             v = v + v_pe
 
-        attn = jax.nn.softmax(energy * scale, axis=-1)  # (B, N, N)
+        attn = jax.nn.softmax(energy.astype(jnp.float32) * scale, axis=-1)
 
-        mask = ops.neighbor_mask(x, self.k)
+        mask = ops.neighbor_mask(x_f32, self.k)
         score = jax.lax.stop_gradient(
             attention_point_score(attn[:, None], mask, self.idx_mode, self.k)
         )[:, 0]  # (B, N)
@@ -329,7 +341,7 @@ class DownSampleCarve(nn.Module):
             _, idx = jax.lax.top_k(score, self.m)
             idx = idx.astype(jnp.int32)
 
-        attn_down = ops.gather_by_idx(attn, idx)  # (B, M, N)
+        attn_down = ops.gather_by_idx(attn, idx).astype(self.dtype)  # (B, M, N)
         x_ds = jnp.einsum("bmn,bnc->bmc", attn_down, v)
 
         if self.res:
@@ -362,6 +374,7 @@ class DownSampleLocal(nn.Module):
     boltzmann_t: float = 1.0
     boltzmann_norm_mode: str = "minmax"
     train: bool = True
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, x_xyz: Optional[jax.Array] = None):
@@ -369,9 +382,10 @@ class DownSampleLocal(nn.Module):
         group_type = "diff" if self.asm == "dot" else "neighbor"
         # project-then-gather (exact; see nn/attention.py)
         nb_idx = ops.neighbors.knn_indices(x, self.k)  # (B, N, K)
-        q = split_heads(Conv1x1(self.q_out)(x), self.num_heads)  # (B, N, H, D)
-        k_pt = Conv1x1(self.k_out)(x)
-        v_pt = Conv1x1(self.v_out)(x)
+        x = x.astype(self.dtype)
+        q = split_heads(Conv1x1(self.q_out, dtype=self.dtype)(x), self.num_heads)
+        k_pt = Conv1x1(self.k_out, dtype=self.dtype)(x)
+        v_pt = Conv1x1(self.v_out, dtype=self.dtype)(x)
         k_nb = ops.index_points(k_pt, nb_idx)
         v_nb = ops.index_points(v_pt, nb_idx)
         if group_type == "diff":
@@ -393,9 +407,13 @@ class DownSampleLocal(nn.Module):
             energy = -energy if self.asm == "l2" else energy
         else:
             raise ValueError(f"asm: {self.asm}")
-        attn = jax.nn.softmax(energy * scale, axis=-1)  # (B, N, H, K)
+        attn = jax.nn.softmax(
+            energy.astype(jnp.float32) * scale, axis=-1
+        ).astype(self.dtype)  # (B, N, H, K)
 
-        score = jax.lax.stop_gradient(self._score(attn, nb_idx, n))  # (B, N)
+        score = jax.lax.stop_gradient(
+            self._score(attn.astype(jnp.float32), nb_idx, n)
+        )  # (B, N)
 
         if self.boltzmann_enable:
             idx = _boltzmann_select(
@@ -476,17 +494,20 @@ class DownSampleGlobal(nn.Module):
     res: bool = False
     ff: bool = False
     train: bool = True
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, x_xyz: Optional[jax.Array] = None):
         assert self.num_heads == 1, "downsample modules require num_heads == 1"
         b, n, c = x.shape
+        x_f32 = x
+        x = x.astype(self.dtype)
         d = self.q_out // self.num_heads
         scale = 1.0 / math.sqrt(d)
 
-        q = Conv1x1(self.q_out)(x)
-        kk = Conv1x1(self.k_out)(x)
-        v = Conv1x1(self.v_out)(x)
+        q = Conv1x1(self.q_out, dtype=self.dtype)(x)
+        kk = Conv1x1(self.k_out, dtype=self.dtype)(x)
+        v = Conv1x1(self.v_out, dtype=self.dtype)(x)
 
         if self.asm == "dot":
             energy = jnp.einsum("bnc,bmc->bnm", q, kk)
@@ -500,7 +521,7 @@ class DownSampleGlobal(nn.Module):
             energy = ops.l2_global(q[:, None], kk[:, None])[:, 0]
         else:
             raise ValueError(f"asm: {self.asm}")
-        attn = jax.nn.softmax(energy * scale, axis=-1)  # (B, N, N)
+        attn = jax.nn.softmax(energy.astype(jnp.float32) * scale, axis=-1)
 
         if self.idx_mode in ("col_sum", "row_std"):
             mask = None
@@ -509,7 +530,7 @@ class DownSampleGlobal(nn.Module):
             else:
                 score = jnp.std(attn, axis=-1, ddof=1)
         else:
-            mask = ops.neighbor_mask(x, self.k)
+            mask = ops.neighbor_mask(x_f32, self.k)
             score = attention_point_score(
                 attn[:, None], mask, self.idx_mode, self.k
             )[:, 0]
@@ -522,9 +543,9 @@ class DownSampleGlobal(nn.Module):
         _, idx_dropped = jax.lax.top_k(-col, n - self.m)
         idx_dropped = idx_dropped.astype(jnp.int32)
 
-        attn_down = ops.gather_by_idx(attn, idx)
+        attn_down = ops.gather_by_idx(attn, idx).astype(self.dtype)
         x_ds = jnp.einsum("bmn,bnc->bmc", attn_down, v)
-        attn_drop = ops.gather_by_idx(attn, idx_dropped)
+        attn_drop = ops.gather_by_idx(attn, idx_dropped).astype(self.dtype)
         x_dropped = jnp.einsum("bmn,bnc->bmc", attn_drop, v)
 
         if self.res:

@@ -5,6 +5,8 @@ Reference: models/embedding.py:7-39 (EdgeConv), :42-97 (STN).
 
 from __future__ import annotations
 
+from typing import Any
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
@@ -29,6 +31,7 @@ class EdgeConv(nn.Module):
     conv2_out: int
     normal_channel: bool = False
     train: bool = True
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -43,11 +46,12 @@ class EdgeConv(nn.Module):
             "conv1_kernel",
             nn.initializers.lecun_normal(),
             (c_in, self.conv1_out),
-        )
+        ).astype(self.dtype)
         if self.normal_channel and c == 6:
             idx = ops.neighbors.knn_indices(x[..., :3], self.k)
         else:
             idx = ops.neighbors.knn_indices(x, self.k)
+        x = x.astype(self.dtype)
 
         if self.group_type == "center_diff":
             w_center, w_diff = kernel[:c], kernel[c:]
@@ -68,9 +72,9 @@ class EdgeConv(nn.Module):
         else:
             raise ValueError(f"unknown group_type: {self.group_type}")
         # g: (B, N, K, conv1_out)
-        g = PointBatchNorm(use_running_average=not self.train)(g)
+        g = PointBatchNorm(use_running_average=not self.train, dtype=self.dtype)(g)
         g = leaky_relu(g)
-        g = ConvBNLeaky(self.conv2_out, train=self.train)(g)
+        g = ConvBNLeaky(self.conv2_out, train=self.train, dtype=self.dtype)(g)
         return jnp.max(g, axis=2)  # (B, N, conv2_out)
 
 

@@ -8,7 +8,7 @@ Reference: models/upsample.py — ``UpSample`` (crossA, :8-65),
 from __future__ import annotations
 
 import math
-from typing import Optional, Tuple
+from typing import Any, Optional, Tuple
 
 import flax.linen as nn
 import jax
@@ -32,6 +32,7 @@ class UpSampleCrossAttention(nn.Module):
     k_out: int
     v_out: int
     train: bool = True
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(
@@ -40,15 +41,21 @@ class UpSampleCrossAttention(nn.Module):
         points_select: jax.Array,  # (B, M, C) downsampled features
         **_,
     ) -> jax.Array:
-        q = split_heads(Conv1x1(self.q_out)(pcd_up), self.num_heads)  # (B,N,H,D)
-        k = split_heads(Conv1x1(self.k_out)(points_select), self.num_heads)
-        v = split_heads(Conv1x1(self.v_out)(points_select), self.num_heads)
+        pcd_up = pcd_up.astype(self.dtype)
+        points_select = points_select.astype(self.dtype)
+        q = split_heads(Conv1x1(self.q_out, dtype=self.dtype)(pcd_up), self.num_heads)
+        k = split_heads(
+            Conv1x1(self.k_out, dtype=self.dtype)(points_select), self.num_heads
+        )
+        v = split_heads(
+            Conv1x1(self.v_out, dtype=self.dtype)(points_select), self.num_heads
+        )
         scale = 1.0 / math.sqrt(q.shape[-1])
         energy = jnp.einsum("bnhd,bmhd->bhnm", q, k)
-        attn = jax.nn.softmax(energy * scale, axis=-1)
-        out = jnp.einsum("bhnm,bmhd->bnhd", attn, v)
+        attn = jax.nn.softmax(energy.astype(jnp.float32) * scale, axis=-1)
+        out = jnp.einsum("bhnm,bmhd->bnhd", attn.astype(self.dtype), v)
         out = merge_heads(out)
-        return Conv1x1(self.v_out)(pcd_up) + out
+        return Conv1x1(self.v_out, dtype=self.dtype)(pcd_up) + out
 
 
 class UpSampleSelfAttention(nn.Module):
@@ -63,6 +70,7 @@ class UpSampleSelfAttention(nn.Module):
     k_out: int
     v_out: int
     train: bool = True
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(
@@ -74,20 +82,25 @@ class UpSampleSelfAttention(nn.Module):
         idx_drop: jax.Array = None,  # (B, N - M)
         **_,
     ) -> jax.Array:
+        pcd_up = pcd_up.astype(self.dtype)
+        points_select = points_select.astype(self.dtype)
+        points_drop = points_drop.astype(self.dtype)
         # concat_by_idx (models/upsample.py:129-133): scatter both sets back
         # to their original positions.
         src = jnp.concatenate([points_select, points_drop], axis=1)
         idx = jnp.concatenate([idx_select, idx_drop], axis=1)
         x = jax.vmap(lambda s, i: jnp.zeros_like(s).at[i].set(s))(src, idx)
 
-        q = split_heads(Conv1x1(self.q_out)(x), self.num_heads)
-        k = split_heads(Conv1x1(self.k_out)(x), self.num_heads)
-        v = split_heads(Conv1x1(self.v_out)(x), self.num_heads)
+        q = split_heads(Conv1x1(self.q_out, dtype=self.dtype)(x), self.num_heads)
+        k = split_heads(Conv1x1(self.k_out, dtype=self.dtype)(x), self.num_heads)
+        v = split_heads(Conv1x1(self.v_out, dtype=self.dtype)(x), self.num_heads)
         scale = 1.0 / math.sqrt(q.shape[-1])
         energy = jnp.einsum("bnhd,bmhd->bhnm", q, k)
-        attn = jax.nn.softmax(energy * scale, axis=-1)
-        out = merge_heads(jnp.einsum("bhnm,bmhd->bnhd", attn, v))
-        return Conv1x1(self.v_out)(pcd_up) + out
+        attn = jax.nn.softmax(energy.astype(jnp.float32) * scale, axis=-1)
+        out = merge_heads(
+            jnp.einsum("bhnm,bmhd->bnhd", attn.astype(self.dtype), v)
+        )
+        return Conv1x1(self.v_out, dtype=self.dtype)(pcd_up) + out
 
 
 class UpSampleInterpolation(nn.Module):
@@ -101,6 +114,7 @@ class UpSampleInterpolation(nn.Module):
     distance_type: str = "xyz"  # 'feature' | 'xyz'
     k: int = 3
     train: bool = True
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(
@@ -111,8 +125,12 @@ class UpSampleInterpolation(nn.Module):
         points_select_xyz: jax.Array = None,  # (B, M, 3)
         **_,
     ) -> jax.Array:
-        sel_conv = Conv1x1(self.v_out)(points_select)
-        sel_conv = PointBatchNorm(use_running_average=not self.train)(sel_conv)
+        sel_conv = Conv1x1(self.v_out, dtype=self.dtype)(
+            points_select.astype(self.dtype)
+        )
+        sel_conv = PointBatchNorm(
+            use_running_average=not self.train, dtype=self.dtype
+        )(sel_conv)
         sel_conv = leaky_relu(sel_conv)  # (B, M, v_out)
 
         if self.distance_type == "feature":
@@ -132,7 +150,9 @@ class UpSampleInterpolation(nn.Module):
         w = w / jnp.sum(w, axis=-1, keepdims=True)
         interp = jnp.sum(neighbors * w[..., None], axis=2)  # (B, N, v_out)
 
-        x = jnp.concatenate([pcd_up, interp], axis=-1)
-        x = Conv1x1(self.v_out)(x)
-        x = PointBatchNorm(use_running_average=not self.train)(x)
+        x = jnp.concatenate(
+            [pcd_up.astype(self.dtype), interp.astype(self.dtype)], axis=-1
+        )
+        x = Conv1x1(self.v_out, dtype=self.dtype)(x)
+        x = PointBatchNorm(use_running_average=not self.train, dtype=self.dtype)(x)
         return leaky_relu(x)

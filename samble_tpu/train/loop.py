@@ -118,8 +118,11 @@ def train_modelnet(cfg, workdir: str, synthetic_data: bool = False) -> Dict[str,
     )
 
     mesh = make_mesh()
-    model = ClsModel(cfg=cfg, num_classes=40, train=True)
-    model_eval = ClsModel(cfg=cfg, num_classes=40, train=False)
+    # train.amp → bfloat16 compute (params/BN stats stay f32), the TPU
+    # analog of the reference's torch.cuda.amp path (train_modelnet.py:324)
+    dtype = jnp.bfloat16 if bool(cfg.select("train.amp", False)) else jnp.float32
+    model = ClsModel(cfg=cfg, num_classes=40, train=True, dtype=dtype)
+    model_eval = ClsModel(cfg=cfg, num_classes=40, train=False, dtype=dtype)
     tx = make_optimizer(cfg.train, steps_per_epoch=len(train_loader))
     example = (np.zeros((bs, int(dl.selected_points), 3), np.float32),)
     state = create_train_state(model, example, tx, rng)
@@ -244,8 +247,9 @@ def train_shapenet(cfg, workdir: str, synthetic_data: bool = False) -> Dict[str,
         return pts, sg
 
     mesh = make_mesh()
-    model = SegModel(cfg=cfg, num_parts=50, train=True)
-    model_eval = SegModel(cfg=cfg, num_parts=50, train=False)
+    dtype = jnp.bfloat16 if bool(cfg.select("train.amp", False)) else jnp.float32
+    model = SegModel(cfg=cfg, num_parts=50, train=True, dtype=dtype)
+    model_eval = SegModel(cfg=cfg, num_parts=50, train=False, dtype=dtype)
     tx = make_optimizer(cfg.train, steps_per_epoch=len(train_loader))
     example = (
         np.zeros((bs, n_sel, 3), np.float32),
