@@ -9,6 +9,8 @@ Special keys consumed by the CLI (not part of the model config):
   * ``usr_config=<path>`` — user config merged over defaults
   * ``workdir=<path>``    — run directory (default runs/<ts>_<task>)
   * ``synthetic_data=true`` — use generated clouds (no-network envs)
+  * ``resume=true``       — restore the latest checkpoint under
+                            ``<workdir>/checkpoints`` and continue training
 """
 
 from __future__ import annotations
@@ -32,7 +34,7 @@ def build_config(argv: Optional[List[str]], dataset: str, default_usr: str):
     overrides = []
     for a in argv:
         key = a.split("=", 1)[0]
-        if key in ("usr_config", "workdir", "synthetic_data"):
+        if key in ("usr_config", "workdir", "synthetic_data", "resume"):
             specials[key] = a.split("=", 1)[1]
         else:
             overrides.append(a)
@@ -50,4 +52,42 @@ def build_config(argv: Optional[List[str]], dataset: str, default_usr: str):
     synthetic = str(specials.get("synthetic_data", "false")).lower() in (
         "1", "true", "yes",
     )
-    return cfg, workdir, synthetic
+    resume = str(specials.get("resume", "false")).lower() in ("1", "true", "yes")
+    return cfg, workdir, synthetic, resume
+
+
+def normalize_ckpt_dir(ckpt_path: str) -> str:
+    """Accept either a run workdir or its ``checkpoints`` subdir."""
+    sub = os.path.join(ckpt_path, "checkpoints")
+    if os.path.isdir(sub):
+        return sub
+    return ckpt_path
+
+
+def resurrect_run_config(ckpt_path: str):
+    """Locate the ``run_config.json`` a training run saved next to its
+    checkpoints (utils/logging.py) and return ``(config_path, run_dir)`` or
+    ``(None, None)``.  Mirrors the reference's config resurrection from the
+    run's saved usr_config (test_modelnet.py:51-59): ``ckpt=<dir>`` alone is
+    enough to evaluate a run."""
+    import json
+
+    cand_dirs = [ckpt_path, os.path.dirname(os.path.abspath(ckpt_path))]
+    for d in cand_dirs:
+        p = os.path.join(d, "run_config.json")
+        if os.path.isfile(p):
+            return p, d
+    return None, None
+
+
+def build_config_from_run(run_config_path: str, overrides):
+    """Config from a saved ``run_config.json`` + CLI dotted overrides."""
+    import json
+
+    from samble_tpu.config.loader import Config, merge, parse_cli_overrides
+
+    with open(run_config_path) as f:
+        data = json.load(f)
+    if overrides:
+        data = merge(data, parse_cli_overrides(list(overrides)))
+    return Config(data)

@@ -9,7 +9,12 @@ from __future__ import annotations
 import json
 import sys
 
-from samble_tpu.cli.common import build_config
+from samble_tpu.cli.common import (
+    build_config,
+    build_config_from_run,
+    normalize_ckpt_dir,
+    resurrect_run_config,
+)
 
 
 def main(argv=None):
@@ -26,7 +31,18 @@ def main(argv=None):
             rest.append(a)
     if ckpt is None:
         raise SystemExit("usage: test_shapenet ckpt=<checkpoints dir> [overrides]")
-    cfg, workdir, synthetic = build_config(rest, "shapenet", "seg.yaml")
+    # config resurrection from the run dir (reference test_shapenet.py:53-61)
+    run_cfg_path, _ = resurrect_run_config(ckpt)
+    ckpt = normalize_ckpt_dir(ckpt)
+    explicit_usr = any(a.startswith("usr_config=") for a in rest)
+    if run_cfg_path is not None and not explicit_usr:
+        specials = [a for a in rest if a.split("=", 1)[0] in
+                    ("workdir", "synthetic_data")]
+        overrides = [a for a in rest if a not in specials]
+        cfg = build_config_from_run(run_cfg_path, overrides)
+        _, workdir, synthetic, _ = build_config(specials, "shapenet", "seg.yaml")
+    else:
+        cfg, workdir, synthetic, _ = build_config(rest, "shapenet", "seg.yaml")
     cfg.mode = "test"
     from samble_tpu.train.eval import evaluate_shapenet
 

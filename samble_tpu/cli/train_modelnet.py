@@ -12,9 +12,9 @@ from samble_tpu.train.loop import train_modelnet
 
 
 def main(argv=None):
-    cfg, workdir, synthetic = build_config(argv, "modelnet", "cls.yaml")
+    cfg, workdir, synthetic, resume = build_config(argv, "modelnet", "cls.yaml")
     cfg.mode = "train"
-    result = train_modelnet(cfg, workdir, synthetic_data=synthetic)
+    result = train_modelnet(cfg, workdir, synthetic_data=synthetic, resume=resume)
     print(f"best val acc: {result['best_acc']:.4f}  (workdir: {workdir})")
     return result
 

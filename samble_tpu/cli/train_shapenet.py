@@ -10,9 +10,9 @@ from samble_tpu.train.loop import train_shapenet
 
 
 def main(argv=None):
-    cfg, workdir, synthetic = build_config(argv, "shapenet", "seg.yaml")
+    cfg, workdir, synthetic, resume = build_config(argv, "shapenet", "seg.yaml")
     cfg.mode = "train"
-    result = train_shapenet(cfg, workdir, synthetic_data=synthetic)
+    result = train_shapenet(cfg, workdir, synthetic_data=synthetic, resume=resume)
     print(f"best val mIoU: {result['best_miou']:.4f}  (workdir: {workdir})")
     return result
 

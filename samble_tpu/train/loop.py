@@ -41,6 +41,17 @@ from samble_tpu.train.step import make_eval_step, make_train_step, make_vote_eva
 from samble_tpu.utils.logging import MetricLogger
 
 
+def _host_ce(logits: np.ndarray, labels: np.ndarray) -> float:
+    """Plain CE from eval logits on host (reference logs val loss,
+    train_modelnet.py:447,477).  No smoothing: matches the reference's
+    validation loss which uses the raw criterion on logits."""
+    logits = np.asarray(logits, np.float32)
+    logits = logits - logits.max(axis=-1, keepdims=True)
+    logz = np.log(np.exp(logits).sum(axis=-1))
+    picked = np.take_along_axis(logits, labels[..., None].astype(np.int64), -1)
+    return float((logz - picked[..., 0]).mean())
+
+
 def _seed_from_config(cfg) -> int:
     seed = int(cfg.select("train.ddp.random_seed", 0) or 0)
     if seed == 0:
@@ -85,8 +96,16 @@ def _load_shapenet(cfg, synthetic: bool):
     )
 
 
-def train_modelnet(cfg, workdir: str, synthetic_data: bool = False) -> Dict[str, Any]:
-    """ModelNet40 classification training (reference train_modelnet.py)."""
+def train_modelnet(
+    cfg, workdir: str, synthetic_data: bool = False, resume: bool = False
+) -> Dict[str, Any]:
+    """ModelNet40 classification training (reference train_modelnet.py).
+
+    ``resume=True`` restores the latest checkpoint under
+    ``workdir/checkpoints`` (full state: params, BN stats, bin boundaries,
+    optimizer, step) and continues from the next epoch — a capability the
+    reference lacks (it saves state_dict only, train_modelnet.py:491-509).
+    """
     check_config(cfg)
     os.makedirs(workdir, exist_ok=True)
     seed = _seed_from_config(cfg)
@@ -141,15 +160,20 @@ def train_modelnet(cfg, workdir: str, synthetic_data: bool = False) -> Dict[str,
 
     logger = MetricLogger(workdir, cfg)
     ckpt = CheckpointManager(os.path.join(workdir, "checkpoints"))
-    best_acc, val_accs = 0.0, []
+    best_acc = 0.0
     epochs = int(cfg.train.epochs)
     val_freq = int(cfg.train.validation_freq)
+    start_epoch = 0
+    if resume and ckpt.latest_step() is not None:
+        state = replicate_state(mesh, ckpt.restore(state))
+        start_epoch = int(state.step) // max(len(train_loader), 1)
+        print(f"[resume] restored step {int(state.step)} → epoch {start_epoch}")
 
     debug_nan = bool(cfg.select("train.debug.enable", False)) and bool(
         cfg.select("train.debug.nan_check", True)
     )
 
-    for epoch in range(epochs):
+    for epoch in range(start_epoch, epochs):
         t0 = time.time()
         losses, preds_all, labels_all = [], [], []
         for bi, batch in enumerate(train_loader):
@@ -181,7 +205,7 @@ def train_modelnet(cfg, workdir: str, synthetic_data: bool = False) -> Dict[str,
         }
 
         if (epoch + 1) % val_freq == 0:
-            preds_all, labels_all = [], []
+            preds_all, labels_all, logits_all = [], [], []
             use_vote = vote_enable and (epoch + 1) >= int(vote_cfg.vote_start_epoch)
             for i, batch in enumerate(val_loader):
                 points, label, valid = batch
@@ -195,15 +219,16 @@ def train_modelnet(cfg, workdir: str, synthetic_data: bool = False) -> Dict[str,
                     out = eval_step(state, points_d, None, key)
                 preds_all.append(np.asarray(out["preds"])[valid])
                 labels_all.append(label[valid])
-            val_acc = metrics_mod.accuracy(
-                np.concatenate(preds_all), np.concatenate(labels_all)
-            )
-            val_accs.append(val_acc)
+                logits_all.append(np.asarray(out["logits"])[valid])
+            labels_cat = np.concatenate(labels_all)
+            val_acc = metrics_mod.accuracy(np.concatenate(preds_all), labels_cat)
+            val_loss = _host_ce(np.concatenate(logits_all), labels_cat)
+            is_best = val_acc >= best_acc
             best_acc = max(best_acc, val_acc)
             epoch_metrics.update(
-                {"val/acc": val_acc, "val/best_acc": best_acc}
+                {"val/loss": val_loss, "val/acc": val_acc, "val/best_acc": best_acc}
             )
-            if val_acc >= max(val_accs):
+            if is_best:
                 ckpt.save(epoch, state, metric=val_acc)
         logger.log(epoch_metrics)
 
@@ -212,7 +237,9 @@ def train_modelnet(cfg, workdir: str, synthetic_data: bool = False) -> Dict[str,
     return {"best_acc": best_acc, "state": state}
 
 
-def train_shapenet(cfg, workdir: str, synthetic_data: bool = False) -> Dict[str, Any]:
+def train_shapenet(
+    cfg, workdir: str, synthetic_data: bool = False, resume: bool = False
+) -> Dict[str, Any]:
     """ShapeNet part-seg training with per-ds-layer mIoU
     (reference train_shapenet.py incl. :550-637 index remapping)."""
     check_config(cfg)
@@ -276,16 +303,21 @@ def train_shapenet(cfg, workdir: str, synthetic_data: bool = False) -> Dict[str,
 
     logger = MetricLogger(workdir, cfg)
     ckpt = CheckpointManager(os.path.join(workdir, "checkpoints"))
-    best_miou, val_mious = 0.0, []
+    best_miou = 0.0
     epochs = int(cfg.train.epochs)
     val_freq = int(cfg.train.validation_freq)
     num_ds = len(cfg.feature_learning_block.downsample.M)
+    start_epoch = 0
+    if resume and ckpt.latest_step() is not None:
+        state = replicate_state(mesh, ckpt.restore(state))
+        start_epoch = int(state.step) // max(len(train_loader), 1)
+        print(f"[resume] restored step {int(state.step)} → epoch {start_epoch}")
 
     debug_nan = bool(cfg.select("train.debug.enable", False)) and bool(
         cfg.select("train.debug.nan_check", True)
     )
 
-    for epoch in range(epochs):
+    for epoch in range(start_epoch, epochs):
         t0 = time.time()
         losses, ious, cats = [], [], []
         for bi, batch in enumerate(train_loader):
@@ -315,7 +347,7 @@ def train_shapenet(cfg, workdir: str, synthetic_data: bool = False) -> Dict[str,
 
         if (epoch + 1) % val_freq == 0:
             use_vote = vote_enable and (epoch + 1) >= int(vote_cfg.vote_start_epoch)
-            all_iou, all_cat = [], []
+            all_iou, all_cat, val_losses = [], [], []
             ds_preds = [[] for _ in range(num_ds)]
             ds_labels = [[] for _ in range(num_ds)]
             for i, batch in enumerate(val_loader):
@@ -332,6 +364,9 @@ def train_shapenet(cfg, workdir: str, synthetic_data: bool = False) -> Dict[str,
                 iou = np.asarray(shape_iou_fn(out["preds"], seg, label))
                 all_iou.append(iou[valid])
                 all_cat.append(label[valid])
+                val_losses.append(
+                    _host_ce(np.asarray(out["logits"])[valid], seg[valid])
+                )
                 if "ds_idx" in out:
                     # per-ds-layer mIoU with index remapping through layers
                     remapped = metrics_mod.downsampled_iou_labels(
@@ -345,10 +380,11 @@ def train_shapenet(cfg, workdir: str, synthetic_data: bool = False) -> Dict[str,
             val_miou = float(all_iou.mean())
             cat_miou = metrics_mod.category_miou(all_iou, all_cat, cfg.datasets.mapping)
             val_cat_miou = float(np.nanmean(list(cat_miou.values())))
-            val_mious.append(val_miou)
+            is_best = val_miou >= best_miou
             best_miou = max(best_miou, val_miou)
             epoch_metrics.update(
                 {
+                    "val/loss": float(np.mean(val_losses)),
                     "val/mIoU": val_miou,
                     "val/category_mIoU": val_cat_miou,
                     "val/best_mIoU": best_miou,
@@ -362,7 +398,7 @@ def train_shapenet(cfg, workdir: str, synthetic_data: bool = False) -> Dict[str,
                         shape_iou_fn(jnp.asarray(p_l), jnp.asarray(s_l), jnp.asarray(all_cat))
                     )
                     epoch_metrics[f"val/dsLayer{l + 1}_mIoU"] = float(iou_l.mean())
-            if val_miou >= max(val_mious):
+            if is_best:
                 ckpt.save(epoch, state, metric=val_miou)
         logger.log(epoch_metrics)
 
