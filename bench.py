@@ -1,14 +1,25 @@
-"""Benchmark: clouds/sec/chip, 1024-pt ModelNet40 classification inference.
+"""Benchmark harness: all five BASELINE.json configs + kernel microbench.
 
-The BASELINE.json primary metric.  Runs the flagship SAMBLE (token-bin
-downsampler) classifier in eval mode on the real TPU chip, sweeps batch
-size, and reports the best sustained throughput as ONE JSON line:
+Primary metric (the ONE JSON line, last stdout line): clouds/sec for
+1024-pt ModelNet40 classification inference on one TPU chip, with MFU
+accounting from XLA ``cost_analysis``.  Secondary configs (2048/4096-pt
+high-res, APES global-attention variant, ShapeNet seg, train-step
+throughput) and the Pallas-vs-XLA kernel parity/speedup checks print as
+``#``-prefixed stderr lines and ride along in the JSON under ``extra``.
 
-    {"metric": "...", "value": N, "unit": "clouds/sec", "vs_baseline": N}
+Methodology (measured on this box, see git history): host readback over the
+tunnelled TPU costs ~26 ms-2.7 s per call, so timing loops dispatch all
+iterations asynchronously and block once on the final output — never a
+per-call readback (round 1 did, and under-measured).  ``vs_baseline`` is
+relative to round 1's recorded 191.78 clouds/sec (same chip, this
+framework's first measurement; the PyTorch reference publishes no numbers,
+BASELINE.md).  Round 1 also benched a semi-degenerate config (M=[1024,512]
+at N=1024 — the first downsampler kept ALL points); this bench scales M
+with N (1024 → M=[512,256]), i.e. it does strictly MORE work per cloud
+than the anchor.
 
-``vs_baseline`` is relative to the first recorded measurement of this same
-framework (the reference publishes no numbers, BASELINE.md) — stored in
-REFERENCE_CLOUDS_PER_SEC once round 1 measured it.
+Env knobs: SAMBLE_BENCH_QUICK=1 → primary config only.
+           SAMBLE_BENCH_F32=1   → float32 instead of bfloat16.
 """
 
 import json
@@ -18,38 +29,64 @@ import time
 
 import numpy as np
 
-# Round-1 measured throughput on one TPU v5e chip (this framework, XLA
-# path, f32).  Later rounds report speedup vs this anchor.
-REFERENCE_CLOUDS_PER_SEC = None  # set after first TPU measurement
+REFERENCE_CLOUDS_PER_SEC = 191.78  # round-1 anchor (BENCH_r01.json)
+V5E_BF16_PEAK_FLOPS = 197e12  # TPU v5e per-chip peak, bf16
+TIME_BUDGET_S = 1500  # skip remaining extras past this wall-clock point
+
+_T0 = time.time()
 
 
-def main():
+def _log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def _timeit(fn, args, iters=20, warmup=2):
+    """Pipelined timing: dispatch all iters, block once on the last output."""
     import jax
 
-    # Remote (tunnelled) compilation is slow (~minutes); persist executables.
-    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_tpu_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    out = fn(*args)
+    jax.block_until_ready(out)
+    for _ in range(warmup - 1):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def _flops_of(fn, *args):
+    import jax
+
+    try:
+        ca = jax.jit(fn).lower(*args).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca.get("flops", 0.0)) or None
+    except Exception as e:
+        _log(f"# cost_analysis unavailable: {type(e).__name__}: {e}")
+        return None
+
+
+def _build_cls(cfg_overrides, n_points, dtype, train=False):
+    import jax
 
     from samble_tpu.config import load_config
     from samble_tpu.models import ClsModel
 
     root = os.path.dirname(os.path.abspath(__file__))
-    n_points = 1024
-    import jax.numpy as jnp
-
     cfg = load_config(
         os.path.join(root, "configs", "default.yaml"),
         dataset_path=os.path.join(root, "configs", "datasets", "modelnet.yaml"),
         usr_config_path=os.path.join(root, "configs", "cls.yaml"),
-        cli_overrides=[f"train.dataloader.selected_points={n_points}"],
-    )
-    # serving configuration: bfloat16 compute (set SAMBLE_BENCH_F32=1 for f32)
-    dtype = (
-        jnp.float32 if os.environ.get("SAMBLE_BENCH_F32") == "1" else jnp.bfloat16
+        cli_overrides=[
+            f"train.dataloader.selected_points={n_points}",
+            *cfg_overrides,
+        ],
     )
     model_train = ClsModel(cfg=cfg, num_classes=40, train=True, dtype=dtype)
     model_eval = ClsModel(cfg=cfg, num_classes=40, train=False, dtype=dtype)
-
     rng = np.random.default_rng(0)
     init_points = rng.normal(size=(8, n_points, 3)).astype(np.float32)
     variables = model_train.init(
@@ -60,37 +97,267 @@ def main():
         },
         init_points,
     )
+    return cfg, model_train, model_eval, variables
 
-    @jax.jit
+
+def _forward_fn(model_eval):
+    import jax
+
     def forward(variables, points):
         logits, _ = model_eval.apply(
             variables, points, rngs={"sampling": jax.random.key(3)}
         )
         return logits
 
-    best = 0.0
-    best_bs = None
-    for bs in (32, 64, 128):
-        points = rng.normal(size=(bs, n_points, 3)).astype(np.float32)
-        points = jax.device_put(points)
+    return jax.jit(forward)
+
+
+def bench_cls_inference(n_points, m_schedule, batch_sizes, dtype, tag,
+                        want_flops=False):
+    """Returns (best clouds/sec, best bs, flops_per_batch_at_best or None)."""
+    import jax
+
+    _, _, model_eval, variables = _build_cls(
+        [f"feature_learning_block.downsample.M={list(m_schedule)}"],
+        n_points, dtype,
+    )
+    forward = _forward_fn(model_eval)
+    rng = np.random.default_rng(1)
+    best, best_bs, best_flops = 0.0, None, None
+    for bs in batch_sizes:
+        points = jax.device_put(
+            rng.normal(size=(bs, n_points, 3)).astype(np.float32)
+        )
         try:
-            # warmup (compile + 2 steady).  Force a host readback per call:
-            # on the tunnelled 'axon' backend block_until_ready can resolve
-            # before remote execution completes, producing bogus timings.
-            for _ in range(3):
-                float(np.asarray(forward(variables, points)).sum())
-            iters = 5
-            t0 = time.perf_counter()
-            for _ in range(iters):
-                float(np.asarray(forward(variables, points)).sum())
-            dt = time.perf_counter() - t0
-            cps = bs * iters / dt
-        except Exception as e:  # OOM at large batch etc.
-            print(f"# bs={bs} failed: {type(e).__name__}: {e}", file=sys.stderr)
+            dt = _timeit(forward, (variables, points))
+            flops = _flops_of(forward, variables, points) if want_flops else None
+        except Exception as e:
+            _log(f"# {tag} bs={bs} failed: {type(e).__name__}: {e}")
             continue
-        print(f"# bs={bs}: {cps:.1f} clouds/sec", file=sys.stderr)
+        cps = bs / dt
+        _log(f"# {tag} bs={bs}: {cps:.1f} clouds/sec ({dt * 1000:.1f} ms/batch)")
         if cps > best:
-            best, best_bs = cps, bs
+            best, best_bs, best_flops = cps, bs, flops
+    return best, best_bs, best_flops
+
+
+def bench_train_step(n_points, m_schedule, bs, dtype):
+    """Training throughput: full jitted step incl. grads + optimizer."""
+    import jax
+
+    from samble_tpu.data import make_batch_augment
+    from samble_tpu.train.schedules import make_optimizer
+    from samble_tpu.train.state import create_train_state
+    from samble_tpu.train.step import make_train_step
+
+    cfg, model_train, _, _ = _build_cls(
+        [f"feature_learning_block.downsample.M={list(m_schedule)}"],
+        n_points, dtype,
+    )
+    tx = make_optimizer(cfg.train, steps_per_epoch=100)
+    example = (np.zeros((bs, n_points, 3), np.float32),)
+    state = create_train_state(model_train, example, tx, jax.random.key(0))
+    augment = make_batch_augment(cfg.train.dataloader.data_augmentation)
+    step = make_train_step(model_train, cfg, "cls", 40, augment_fn=augment,
+                           donate=False)
+    rng = np.random.default_rng(2)
+    points = jax.device_put(rng.normal(size=(bs, n_points, 3)).astype(np.float32))
+    label = jax.device_put(rng.integers(0, 40, bs).astype(np.int32))
+
+    def one(state, points, label):
+        new_state, out = step(state, (points, label), jax.random.key(7))
+        return out["loss"]
+
+    dt = _timeit(one, (state, points, label), iters=10)
+    return bs / dt, dt
+
+
+def bench_seg_inference(n_points, bs, dtype):
+    import jax
+
+    from samble_tpu.config import load_config
+    from samble_tpu.models import SegModel
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    cfg = load_config(
+        os.path.join(root, "configs", "default.yaml"),
+        dataset_path=os.path.join(root, "configs", "datasets", "shapenet.yaml"),
+        usr_config_path=os.path.join(root, "configs", "seg.yaml"),
+        cli_overrides=[f"train.dataloader.selected_points={n_points}"],
+    )
+    model_train = SegModel(cfg=cfg, num_parts=50, train=True, dtype=dtype)
+    model_eval = SegModel(cfg=cfg, num_parts=50, train=False, dtype=dtype)
+    rng = np.random.default_rng(3)
+    pts8 = rng.normal(size=(8, n_points, 3)).astype(np.float32)
+    cat8 = np.eye(16, dtype=np.float32)[rng.integers(0, 16, 8)]
+    variables = model_train.init(
+        {
+            "params": jax.random.key(0),
+            "dropout": jax.random.key(1),
+            "sampling": jax.random.key(2),
+        },
+        pts8, cat8,
+    )
+
+    def forward(variables, points, cat):
+        logits, _ = model_eval.apply(
+            variables, points, cat, rngs={"sampling": jax.random.key(3)}
+        )
+        return logits
+
+    fwd = jax.jit(forward)
+    points = jax.device_put(rng.normal(size=(bs, n_points, 3)).astype(np.float32))
+    cat = jax.device_put(np.eye(16, dtype=np.float32)[rng.integers(0, 16, bs)])
+    dt = _timeit(fwd, (variables, points, cat), iters=10)
+    return bs / dt, dt
+
+
+def bench_kernels():
+    """On-TPU Pallas vs XLA parity + speedup for the two custom kernels."""
+    import jax
+    import jax.numpy as jnp
+
+    from samble_tpu import kernels
+    from samble_tpu.kernels.score import (
+        score_from_colsums,
+        sparse_attention_score_pallas,
+    )
+    from samble_tpu.ops import attention as att_ops
+    from samble_tpu.ops import neighbors as nbr
+
+    out = {}
+    rng = np.random.default_rng(4)
+    b, n, c, k = 8, 1024, 128, 32
+    x = jax.device_put(rng.normal(size=(b, n, c)).astype(np.float32))
+
+    # -- kNN ---------------------------------------------------------------
+    xla_knn = jax.jit(lambda a: nbr.knn(a, a, k)[1])
+    pl_knn = jax.jit(
+        lambda a: kernels.knn_pallas(*nbr._normalize_pair(a, a), k)[1]
+    )
+    i_x = np.asarray(xla_knn(x))
+    i_p = np.asarray(pl_knn(x))
+    match = float((np.sort(i_x, -1) == np.sort(i_p, -1)).mean())
+    t_x = _timeit(xla_knn, (x,), iters=10)
+    t_p = _timeit(pl_knn, (x,), iters=10)
+    out["knn"] = {
+        "idx_match": round(match, 6),
+        "xla_ms": round(t_x * 1e3, 3),
+        "pallas_ms": round(t_p * 1e3, 3),
+        "speedup": round(t_x / t_p, 2),
+    }
+    _log(f"# kernel knn: match={match:.4f} xla={t_x*1e3:.2f}ms "
+         f"pallas={t_p*1e3:.2f}ms speedup={t_x/t_p:.2f}x")
+
+    # -- fused score ---------------------------------------------------------
+    nt = n + 6
+    q = jax.device_put(rng.normal(size=(b, n, c)).astype(np.float32))
+    kk = jax.device_put(rng.normal(size=(b, nt, c)).astype(np.float32))
+    nb_idx = xla_knn(x)
+    scale = 1.0 / np.sqrt(c)
+
+    def xla_score(q, kk, nb_idx):
+        energy = jnp.einsum("bnc,bmc->bnm", q, kk) * scale
+        attn = jax.nn.softmax(energy, axis=-1)[..., :n]
+        mask = nbr.mask_from_idx(nb_idx, n)
+        return att_ops.attention_point_score(
+            attn[:, None], mask, "sparse_col_sqr", k
+        )[:, 0]
+
+    def pl_score(q, kk, nb_idx):
+        cm, cf, cc = sparse_attention_score_pallas(q, kk, nb_idx, float(scale))
+        return score_from_colsums(cm, cf, cc, "sparse_col_sqr")
+
+    f_x, f_p = jax.jit(xla_score), jax.jit(pl_score)
+    s_x = np.asarray(f_x(q, kk, nb_idx))
+    s_p = np.asarray(f_p(q, kk, nb_idx))
+    denom = np.abs(s_x).max() + 1e-12
+    err = float(np.abs(s_x - s_p).max() / denom)
+    t_x = _timeit(f_x, (q, kk, nb_idx), iters=10)
+    t_p = _timeit(f_p, (q, kk, nb_idx), iters=10)
+    out["score"] = {
+        "rel_err": round(err, 8),
+        "xla_ms": round(t_x * 1e3, 3),
+        "pallas_ms": round(t_p * 1e3, 3),
+        "speedup": round(t_x / t_p, 2),
+    }
+    _log(f"# kernel score: rel_err={err:.2e} xla={t_x*1e3:.2f}ms "
+         f"pallas={t_p*1e3:.2f}ms speedup={t_x/t_p:.2f}x")
+    return out
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_tpu_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    dtype = (
+        jnp.float32 if os.environ.get("SAMBLE_BENCH_F32") == "1" else jnp.bfloat16
+    )
+    quick = os.environ.get("SAMBLE_BENCH_QUICK") == "1"
+    extra = {}
+
+    # ---- primary: 1024-pt cls inference, M scaled with N ----
+    best, best_bs, flops = bench_cls_inference(
+        1024, [512, 256], (64, 128, 256), dtype, "cls-1024", want_flops=True
+    )
+    if flops:
+        flops_per_sec = flops / best_bs * best
+        extra["flops_per_cloud_G"] = round(flops / best_bs / 1e9, 3)
+        extra["tflops_per_sec"] = round(flops_per_sec / 1e12, 3)
+        extra["mfu_pct"] = round(100 * flops_per_sec / V5E_BF16_PEAK_FLOPS, 3)
+        _log(f"# primary MFU: {extra['mfu_pct']}% "
+             f"({extra['tflops_per_sec']} TFLOP/s, "
+             f"{extra['flops_per_cloud_G']} GF/cloud)")
+
+    def budget_left():
+        left = time.time() - _T0 < TIME_BUDGET_S
+        if not left:
+            _log("# time budget exhausted; skipping remaining extras")
+        return left
+
+    if not quick:
+        for name, fn in (
+            ("kernels", bench_kernels),
+            ("cls_2048", lambda: dict(zip(
+                ("clouds_per_sec", "batch_size"),
+                (lambda r: (round(r[0], 2), r[1]))(
+                    bench_cls_inference(2048, [1024, 512], (32, 64), dtype,
+                                        "cls-2048")[:2]
+                ),
+            ))),
+            ("cls_4096", lambda: dict(zip(
+                ("clouds_per_sec", "batch_size"),
+                (lambda r: (round(r[0], 2), r[1]))(
+                    bench_cls_inference(4096, [2048, 1024], (16, 32), dtype,
+                                        "cls-4096")[:2]
+                ),
+            ))),
+            ("apes_global_1024", lambda: dict(zip(
+                ("clouds_per_sec", "batch_size"),
+                (lambda r: (round(r[0], 2), r[1]))(
+                    _bench_apes(dtype)[:2]
+                ),
+            ))),
+            ("seg_2048", lambda: {
+                "clouds_per_sec": round(bench_seg_inference(2048, 32, dtype)[0], 2)
+            }),
+            ("train_step_1024", lambda: {
+                "clouds_per_sec": round(
+                    bench_train_step(1024, [512, 256], 64, dtype)[0], 2
+                )
+            }),
+        ):
+            if not budget_left():
+                break
+            try:
+                extra[name] = fn()
+                _log(f"# {name}: {extra[name]}")
+            except Exception as e:
+                _log(f"# {name} failed: {type(e).__name__}: {e}")
+                extra[name] = {"error": f"{type(e).__name__}: {e}"}
 
     vs = best / REFERENCE_CLOUDS_PER_SEC if REFERENCE_CLOUDS_PER_SEC else 1.0
     print(
@@ -103,9 +370,29 @@ def main():
                 "batch_size": best_bs,
                 "dtype": str(dtype.__name__),
                 "device": str(jax.devices()[0]),
+                "extra": extra,
             }
         )
     )
+
+
+def _bench_apes(dtype):
+    """BASELINE config #2: APES-style global attention-map row/col scoring."""
+    import jax
+
+    _, _, model_eval, variables = _build_cls(
+        [
+            "feature_learning_block.downsample.ds_which=global",
+            "feature_learning_block.downsample.M=[512,256]",
+            "feature_learning_block.downsample.idx_mode=[sparse_col_sqr,sparse_col_sqr]",
+        ],
+        1024, dtype,
+    )
+    forward = _forward_fn(model_eval)
+    rng = np.random.default_rng(5)
+    points = jax.device_put(rng.normal(size=(128, 1024, 3)).astype(np.float32))
+    dt = _timeit(forward, (variables, points), iters=10)
+    return 128 / dt, 128
 
 
 if __name__ == "__main__":

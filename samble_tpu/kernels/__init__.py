@@ -35,6 +35,12 @@ def use_pallas() -> bool:
 
 
 from samble_tpu.kernels.knn import knn_pallas  # noqa: E402
+from samble_tpu.kernels.n2p import n2p_attention  # noqa: E402
 from samble_tpu.kernels.score import sparse_attention_score_pallas  # noqa: E402
 
-__all__ = ["use_pallas", "knn_pallas", "sparse_attention_score_pallas"]
+__all__ = [
+    "use_pallas",
+    "knn_pallas",
+    "n2p_attention",
+    "sparse_attention_score_pallas",
+]

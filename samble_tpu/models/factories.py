@@ -100,6 +100,20 @@ def make_downsample(ds_cfg: Any, layer: int, train: bool,
     if which == "global_carve":
         pe_cfg = ds_cfg.get("pe")
         boltz = ds_cfg.get("boltzmann")
+        bin_cfg = ds_cfg.get("bin")
+        # legacy bin modes (older configs carried bin.mode: bin|bin2 —
+        # utils/check_config.py:47-49 references it; shipped YAMLs omit it)
+        bin_mode = bin_cfg.get("mode", "none") if bin_cfg is not None else "none"
+        bin_kwargs = {}
+        if bin_cfg is not None and bin_mode != "none":
+            bin_kwargs = dict(
+                bin_mode=bin_mode,
+                num_bins=bin_cfg.num_bins[layer],
+                bin_sample_mode=bin_cfg.sample_mode[layer],
+                bin_norm_mode=bin_cfg.norm_mode[layer],
+                scaling_factor=bin_cfg.scaling_factor[layer],
+                bin_boltzmann_t=bin_cfg.boltzmann_T[layer],
+            )
         return DownSampleCarve(
             k=ds_cfg.K,
             pe=bool(pe_cfg.enable[layer]) if pe_cfg is not None else False,
@@ -107,6 +121,7 @@ def make_downsample(ds_cfg: Any, layer: int, train: bool,
             boltzmann_enable=bool(boltz.enable[layer]) if boltz is not None else False,
             boltzmann_t=boltz.boltzmann_T[layer] if boltz is not None else 1.0,
             boltzmann_norm_mode=boltz.norm_mode[layer] if boltz is not None else "minmax",
+            **bin_kwargs,
             **common,
         )
     if which == "local":

@@ -38,8 +38,32 @@ class Neighbor2PointAttention(nn.Module):
     v_out: int
     ff_hidden: int
     ff_out: int
+    impl: str = "auto"  # 'auto' | 'pallas' | 'dense' | 'gather'
     train: bool = True
     dtype: Any = jnp.float32
+
+    def _select_impl(self, n: int) -> str:
+        """Pick the attention realization (all mathematically identical for
+        scalar_dot — see the algebra below).
+
+        Measured on TPU v5e (B=128, N=1024, C=128, K=32):
+          * 'gather' — reference-shaped (B,N,K,C) neighbor gathers: ~180 ms
+          * 'dense'  — full q·kᵀ MXU matmul + kNN mask + attn·V: ~52 ms
+          * 'pallas' — fused row-tile kernel, nothing O(N²) in HBM
+        scalar_dot reduces to ±q_i·k_j plus row constants softmax cancels:
+          diff:    q_i·(k_j−k_i)   = q_i·k_j − c_i
+          dot-sub: q_i·(q_i−k_j~)  = c_i − (±q_i·k_j)
+        and Σ_j a_ij (v_j − v_i) = (Σ_j a_ij v_j) − v_i since Σ_j a_ij = 1.
+        """
+        if self.impl != "auto":
+            return self.impl
+        if self.attention_mode != "scalar_dot":
+            return "gather"
+        from samble_tpu import kernels
+
+        if kernels.use_pallas() and n >= 256 and self.k <= 128:
+            return "pallas"
+        return "gather"
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -50,24 +74,58 @@ class Neighbor2PointAttention(nn.Module):
         # the (B, N, K, C) grouped tensor (models/attention.py:175-181 —
         # K times the FLOPs) into a per-point matmul plus a gather.  Exact.
         idx = ops.neighbors.knn_indices(x, self.k)  # (B, N, K)
+        n = x.shape[1]
         x = x.astype(self.dtype)
         q = split_heads(Conv1x1(self.q_out, dtype=self.dtype)(x), self.num_heads)
         k_pt = Conv1x1(self.k_out, dtype=self.dtype)(x)  # (B, N, C)
         v_pt = Conv1x1(self.v_out, dtype=self.dtype)(x)
+
+        d = q.shape[-1]
+        scale = 1.0 / math.sqrt(d)
+        if self.group_type not in ("diff", "neighbor"):
+            raise ValueError(
+                f"N2P group_type must be diff or neighbor, got {self.group_type}"
+            )
+        impl = self._select_impl(n)
+        if self.attention_mode == "scalar_dot" and impl in ("pallas", "dense"):
+            if self.asm not in ("dot", "dot-sub"):
+                raise ValueError(f"asm must be dot or dot-sub, got {self.asm}")
+            negate = self.asm == "dot-sub"
+            subtract_v = self.group_type == "diff"
+            if impl == "pallas":
+                from samble_tpu.kernels.n2p import n2p_attention
+
+                out = n2p_attention(
+                    merge_heads(q), k_pt, v_pt, idx,
+                    self.num_heads, scale, negate, subtract_v,
+                )
+                return self._res_ffn(x, out)
+            kh = split_heads(k_pt, self.num_heads)  # (B, N, H, D)
+            vh = split_heads(v_pt, self.num_heads)
+            energy = jnp.einsum("bnhd,bmhd->bhnm", q, kh)  # (B, H, N, N)
+            if negate:
+                energy = -energy
+            neighbor = ops.neighbors.mask_from_idx(idx, n) > 0  # (B, N, N)
+            energy = jnp.where(
+                neighbor[:, None],
+                energy.astype(jnp.float32) * scale,
+                jnp.finfo(jnp.float32).min,
+            )
+            attn = jax.nn.softmax(energy, axis=-1).astype(self.dtype)
+            out = jnp.einsum("bhnm,bmhd->bnhd", attn, vh)  # (B, N, H, D)
+            if subtract_v:
+                out = out - vh
+            out = merge_heads(out)
+            return self._res_ffn(x, out)
+
         k_nb = ops.index_points(k_pt, idx)  # (B, N, K, C)
         v_nb = ops.index_points(v_pt, idx)
         if self.group_type == "diff":
             k_nb = k_nb - k_pt[:, :, None]
             v_nb = v_nb - v_pt[:, :, None]
-        elif self.group_type != "neighbor":
-            raise ValueError(
-                f"N2P group_type must be diff or neighbor, got {self.group_type}"
-            )
         kk = split_heads(k_nb, self.num_heads)  # (B, N, K, H, D)
         v = split_heads(v_nb, self.num_heads)
 
-        d = q.shape[-1]
-        scale = 1.0 / math.sqrt(d)
         if self.attention_mode == "scalar_dot":
             if self.asm == "dot":
                 energy = jnp.einsum("bnhd,bnkhd->bnhk", q, kk)
@@ -90,6 +148,10 @@ class Neighbor2PointAttention(nn.Module):
             )
 
         out = merge_heads(out)  # (B, N, v_out)
+        return self._res_ffn(x, out)
+
+    def _res_ffn(self, x: jax.Array, out: jax.Array) -> jax.Array:
+        """Residual + BN + conv-FFN tail (models/attention.py:185-192)."""
         x = PointBatchNorm(
             use_running_average=not self.train, dtype=self.dtype
         )(x + out)

@@ -286,6 +286,21 @@ class DownSampleCarve(nn.Module):
     boltzmann_enable: bool = False
     boltzmann_t: float = 1.0
     boltzmann_norm_mode: str = "minmax"
+    # legacy bin machinery (reference models/downsample.py:637-793).  The
+    # reference's forward unconditionally calls self.bin_conv whose layers
+    # are never constructed — global_carve crashes as shipped — and the two
+    # bin samplers are dead methods.  Reconstructed here behind bin_mode:
+    #   'none' — shipped top-M behavior (default; skips the broken call)
+    #   'bin'  — bin_conv head (evident intent: conv1 C→nb/2, edge probs
+    #            scaled + norm_ranged to [0.5, 1], mirrored inner bins;
+    #            conv2 mixes the edge features back) + bin_idx_selection
+    #   'bin2' — bin2_idx_selection (bin-level Boltzmann multinomial)
+    bin_mode: str = "none"  # 'none' | 'bin' | 'bin2'
+    num_bins: int = 6
+    bin_sample_mode: str = "topk"
+    bin_norm_mode: str = "sigmoid"
+    scaling_factor: float = 1.0
+    bin_boltzmann_t: float = 0.1
     res: bool = False
     ff: bool = False
     train: bool = True
@@ -299,6 +314,21 @@ class DownSampleCarve(nn.Module):
         x = x.astype(self.dtype)
         d = self.q_out // self.num_heads
         scale = 1.0 / math.sqrt(d)
+
+        bin_prob = None
+        if self.bin_mode == "bin":
+            # reconstructed bin_conv (models/downsample.py:637-660)
+            edge_feat = Conv1x1(self.num_bins // 2, dtype=self.dtype)(x)
+            x = Conv1x1(c, dtype=self.dtype)(
+                jnp.concatenate([x, edge_feat], axis=-1)
+            )
+            edge = jnp.max(edge_feat.astype(jnp.float32), axis=1)  # (B, nb/2)
+            edge = edge / self.scaling_factor
+            edge = ops.norm_range(
+                edge, axis=-1, n_min=0.5, n_max=1.0, mode=self.bin_norm_mode
+            )
+            inner = jnp.flip(1.0 - edge, axis=-1)
+            bin_prob = jnp.concatenate([edge, inner], axis=-1)  # (B, nb)
 
         q = Conv1x1(self.q_out, dtype=self.dtype)(x)
         kk = Conv1x1(self.k_out, dtype=self.dtype)(x)
@@ -332,7 +362,18 @@ class DownSampleCarve(nn.Module):
             attention_point_score(attn[:, None], mask, self.idx_mode, self.k)
         )[:, 0]  # (B, N)
 
-        if self.boltzmann_enable:
+        k_counts = None
+        if self.bin_mode == "bin":
+            idx, k_counts = ops.bin_idx_selection(
+                self.make_rng("sampling"), score, self.num_bins, bin_prob,
+                self.m, self.bin_sample_mode, self.bin_boltzmann_t,
+            )
+        elif self.bin_mode == "bin2":
+            idx, k_counts, bin_prob = ops.bin2_idx_selection(
+                self.make_rng("sampling"), score, self.num_bins, self.m,
+                self.bin_boltzmann_t,
+            )
+        elif self.boltzmann_enable:
             idx = _boltzmann_select(
                 self.make_rng("sampling"), score, self.m,
                 self.boltzmann_norm_mode, self.boltzmann_t,
@@ -347,7 +388,12 @@ class DownSampleCarve(nn.Module):
         if self.res:
             x_ds = _res_block(self, x, x_ds, idx, self.ff, self.train)
 
-        aux = {"attention_point_score": score[:, None], "idx": idx, "bin_prob": None}
+        aux = {
+            "attention_point_score": score[:, None],
+            "idx": idx,
+            "bin_prob": bin_prob,
+            "k_point_to_choose": k_counts,
+        }
         return x_ds, idx, None, aux
 
 

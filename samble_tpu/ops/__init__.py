@@ -28,6 +28,8 @@ from samble_tpu.ops.bins import (
 from samble_tpu.ops.sampling import (
     sort_chunk,
     generate_downsampled_index,
+    bin_idx_selection,
+    bin2_idx_selection,
     farthest_point_sample,
     fps,
 )
@@ -50,6 +52,8 @@ __all__ = [
     "calculate_num_points_to_choose",
     "sort_chunk",
     "generate_downsampled_index",
+    "bin_idx_selection",
+    "bin2_idx_selection",
     "farthest_point_sample",
     "fps",
 ]

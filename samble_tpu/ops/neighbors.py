@@ -76,7 +76,13 @@ def knn(a: jax.Array, b: jax.Array, k: int):
     sq = pairwise_sq_dist(a, b)
     # top_k over the negative distance == k smallest distances.  sqrt is
     # monotonic so indices are unaffected; values match -cdist for parity.
-    neg_dist = -jnp.sqrt(sq)
+    # Gradient-safe sqrt: d(sqrt)/d(sq) → ∞ at sq == 0, and zero distances
+    # ALWAYS occur (self-distances; interpolation queries contain the known
+    # points).  The double-where keeps the value exactly 0 there while
+    # routing the backward pass around the singularity (torch.cdist uses the
+    # same 0-subgradient convention, so parity holds).
+    zero = sq <= 1e-12
+    neg_dist = -jnp.where(zero, 0.0, jnp.sqrt(jnp.where(zero, 1.0, sq)))
     dist, idx = jax.lax.top_k(neg_dist, k)
     return dist, idx.astype(jnp.int32)
 

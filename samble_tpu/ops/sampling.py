@@ -176,6 +176,153 @@ def generate_downsampled_index(
     return idx
 
 
+def _sorted_chunk_bins(scores: jax.Array, num_bins: int):
+    """Equal-size score bins by descending sort (ops.sort_chunk layout).
+
+    :param scores: (B, N)
+    :returns: ``(bin_id (B, N) int32, sorted_vals (B, num_bins, chunk))``
+        where ``bin_id[b, p]`` is the chunk index point p lands in.
+    """
+    b, n = scores.shape
+    assert n % num_bins == 0, "N must be divisible by num_bins"
+    chunk = n // num_bins
+    order = jnp.argsort(-scores, axis=-1).astype(jnp.int32)  # (B, N) desc
+    chunk_of_pos = (jnp.arange(n, dtype=jnp.int32) // chunk)[None]  # (1, N)
+    bin_id = jax.vmap(lambda o, c: jnp.zeros((n,), jnp.int32).at[o].set(c))(
+        order, jnp.broadcast_to(chunk_of_pos, (b, n))
+    )
+    sorted_vals = jnp.take_along_axis(scores, order, axis=-1).reshape(
+        b, num_bins, chunk
+    )
+    return bin_id, sorted_vals
+
+
+def _select_by_bin_budget(pert, bin_id, budgets, num_bins, m):
+    """(B, M) indices: per bin, the ``budgets[b, j]`` best-``pert`` points,
+    ordered bin 0 first.  Shared tail of the legacy bin samplers."""
+    n = pert.shape[1]
+    rank, global_rank = rank_within_bins(pert, bin_id, num_bins)
+    budget = jnp.take_along_axis(budgets, bin_id, axis=1)  # (B, N)
+    selected = rank < budget
+    sel_key = bin_id * (n + 1) + rank
+    fallback_key = num_bins * (n + 1) + global_rank
+    order_key = jnp.where(selected, sel_key, fallback_key)
+    return jnp.argsort(order_key, axis=1)[:, :m].astype(jnp.int32)
+
+
+def bin_idx_selection(
+    key: jax.Array,
+    scores: jax.Array,
+    num_bins: int,
+    bin_prob: jax.Array,
+    m: int,
+    sample_mode: str,
+    boltzmann_t: float,
+):
+    """Legacy APES bin sampler (reference models/downsample.py:662-718).
+
+    Scores are sorted descending and split into ``num_bins`` equal chunks;
+    bin j's budget is ``int(2M/num_bins · bin_prob[:, j])`` (last bin takes
+    the remainder), and points are drawn within each chunk by top-k /
+    uniform / Boltzmann-multinomial.  The reference loops over (batch × bin)
+    on the host; here one Gumbel-top-k over composite (bin, rank) keys keeps
+    everything static-shape.  NOTE: the method is dead code in the shipped
+    reference (no forward calls it — DownSampleCarve.forward:494-512 uses
+    idx_selection/boltzmann only); it is reproduced for capability parity
+    with older configs.
+
+    :param scores: (B, N)
+    :param bin_prob: (B, num_bins) in [0.5, 1] (from the bin_conv head)
+    :returns: ``(idx (B, M) int32, k_counts (B, num_bins) int32)``
+    """
+    b, n = scores.shape
+    chunk = n // num_bins
+    bin_id, sorted_vals = _sorted_chunk_bins(scores, num_bins)
+
+    per_bin = jnp.floor(2.0 * m / num_bins * bin_prob).astype(jnp.int32)
+    head = per_bin[:, : num_bins - 1]
+    last = m - jnp.sum(head, axis=1, keepdims=True)  # (B, 1) remainder
+    budgets = jnp.concatenate([head, last], axis=1)  # (B, nb)
+    budgets = jnp.clip(budgets, 0, chunk)
+
+    if sample_mode == "topk":
+        pert = scores
+    elif sample_mode == "uniform":
+        pert = jax.random.gumbel(key, (b, n), dtype=jnp.float32)
+    elif sample_mode == "random":
+        # per-chunk minmax normalization (sorted desc: max at col 0, min at
+        # col -1), then Boltzmann softmax ≡ Gumbel-top-k on the logits
+        hi = jnp.take_along_axis(sorted_vals[..., 0], bin_id, axis=1)
+        lo = jnp.take_along_axis(sorted_vals[..., -1], bin_id, axis=1)
+        normed = (scores - lo) / (hi - lo + 1e-8)
+        logit = normed / (boltzmann_t + 1e-8)
+        pert = logit + jax.random.gumbel(key, (b, n), dtype=jnp.float32)
+    else:
+        raise ValueError(
+            f"sample_mode must be topk, uniform or random, got {sample_mode}"
+        )
+    idx = _select_by_bin_budget(pert, bin_id, budgets, num_bins, m)
+    return idx, budgets
+
+
+def bin2_idx_selection(
+    key: jax.Array,
+    scores: jax.Array,
+    num_bins: int,
+    m: int,
+    boltzmann_t: float,
+):
+    """Legacy APES bin2 sampler (reference models/downsample.py:720-793).
+
+    Bin-level Boltzmann probabilities from each equal sort-chunk's mean
+    score; M bin assignments drawn WITH replacement; overflow beyond a
+    chunk's population cascades to the next bin, any final leftover goes to
+    the first bins with space (the reference's second pass drops the
+    leftover when the first non-overflowing bin absorbs it —
+    models/downsample.py:764-771 never writes ``count_list[k]`` on the
+    break path — which would emit fewer than M indices; fixed here to keep
+    the static (B, M) contract).  Points within each bin are drawn uniformly
+    without replacement.  Dead code in the shipped reference (see
+    bin_idx_selection); reproduced for capability parity.
+
+    :returns: ``(idx (B, M) int32, k_counts (B, num_bins) int32,
+        bin_prob (B, num_bins))``
+    """
+    b, n = scores.shape
+    chunk = n // num_bins
+    bin_id, sorted_vals = _sorted_chunk_bins(scores, num_bins)
+
+    mean_bin = jnp.mean(sorted_vals, axis=-1)  # (B, nb)
+    lo = jnp.min(mean_bin, axis=1, keepdims=True)
+    hi = jnp.max(mean_bin, axis=1, keepdims=True)
+    normed = (mean_bin - lo) / (hi - lo + 1e-8)
+    logits = normed / (boltzmann_t + 1e-8)
+
+    key_cat, key_sel = jax.random.split(key)
+    draws = jax.random.categorical(key_cat, logits[:, None, :], axis=-1,
+                                   shape=(b, m))  # (B, M) with replacement
+    counts = jnp.sum(jax.nn.one_hot(draws, num_bins, dtype=jnp.int32), axis=1)
+
+    # first pass: cascade per-bin overflow into the next bin
+    rest = jnp.zeros((b,), jnp.int32)
+    cols = []
+    for j in range(num_bins):
+        c = counts[:, j] + rest
+        rest = jnp.maximum(c - chunk, 0)
+        cols.append(jnp.minimum(c, chunk))
+    # second pass: pour any leftover into the first bins with space
+    for j in range(num_bins):
+        space = chunk - cols[j]
+        add = jnp.minimum(rest, space)
+        cols[j] = cols[j] + add
+        rest = rest - add
+    counts = jnp.stack(cols, axis=1)  # (B, nb), sums to M (M <= N)
+
+    pert = jax.random.gumbel(key_sel, (b, n), dtype=jnp.float32)
+    idx = _select_by_bin_budget(pert, bin_id, counts, num_bins, m)
+    return idx, counts, counts.astype(jnp.float32) / m
+
+
 def farthest_point_sample(key: jax.Array, xyz: jax.Array, npoint: int) -> jax.Array:
     """Iterative farthest-point sampling (utils/ops.py:622-643).
 

@@ -1,5 +1,6 @@
 from samble_tpu.parallel.mesh import (
     make_mesh,
+    maybe_init_distributed,
     shard_batch,
     replicate_state,
     batch_sharding,
@@ -8,6 +9,7 @@ from samble_tpu.parallel.mesh import (
 
 __all__ = [
     "make_mesh",
+    "maybe_init_distributed",
     "shard_batch",
     "replicate_state",
     "batch_sharding",

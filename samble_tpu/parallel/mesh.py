@@ -24,6 +24,33 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def maybe_init_distributed(cfg: Any) -> bool:
+    """Multi-host process-group init behind config flags.
+
+    Reference parity: ``train.ddp.nnodes`` / ``world_size`` / master
+    address knobs (configs/default.yaml:95-100, rendezvous at
+    train_modelnet.py:162-166).  On TPU pods the coordinator/process
+    counts usually come from the environment, so a bare
+    ``train.ddp.multi_host=true`` defers to ``jax.distributed.initialize()``
+    auto-detection; the explicit knobs are forwarded when set.  Single-host
+    behavior is unchanged (flag defaults off).  Returns True if initialized.
+    """
+    ddp = cfg.select("train.ddp") if hasattr(cfg, "select") else None
+    if ddp is None or not bool(ddp.get("multi_host", False)):
+        return False
+    kwargs = {}
+    addr = ddp.get("master_addr")
+    port = ddp.get("master_port")
+    if addr:
+        kwargs["coordinator_address"] = f"{addr}:{port or 1234}"
+    if ddp.get("world_size"):
+        kwargs["num_processes"] = int(ddp.get("world_size"))
+    if ddp.get("rank") is not None and ddp.get("world_size"):
+        kwargs["process_id"] = int(ddp.get("rank"))
+    jax.distributed.initialize(**kwargs)
+    return True
+
+
 def make_mesh(
     devices: Optional[Sequence] = None, axis_name: str = "data"
 ) -> Mesh:

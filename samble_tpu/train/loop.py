@@ -32,7 +32,12 @@ from samble_tpu.data import (
 )
 from samble_tpu.data.augmentation import make_vote_augment
 from samble_tpu.models import ClsModel, SegModel
-from samble_tpu.parallel import make_mesh, shard_batch, replicate_state
+from samble_tpu.parallel import (
+    make_mesh,
+    maybe_init_distributed,
+    replicate_state,
+    shard_batch,
+)
 from samble_tpu.train import metrics as metrics_mod
 from samble_tpu.train.checkpoint import CheckpointManager
 from samble_tpu.train.schedules import make_optimizer
@@ -136,6 +141,7 @@ def train_modelnet(
         drop_last=False, seed=seed + 1,
     )
 
+    maybe_init_distributed(cfg)  # multi-host pods (train.ddp.multi_host)
     mesh = make_mesh()
     # train.amp → bfloat16 compute (params/BN stats stay f32), the TPU
     # analog of the reference's torch.cuda.amp path (train_modelnet.py:324)
@@ -273,6 +279,7 @@ def train_shapenet(
         sg = np.take_along_axis(np.asarray(seg), np.asarray(idx), 1)
         return pts, sg
 
+    maybe_init_distributed(cfg)  # multi-host pods (train.ddp.multi_host)
     mesh = make_mesh()
     dtype = jnp.bfloat16 if bool(cfg.select("train.amp", False)) else jnp.float32
     model = SegModel(cfg=cfg, num_parts=50, train=True, dtype=dtype)

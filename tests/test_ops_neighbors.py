@@ -145,3 +145,27 @@ def test_gather_by_idx(rng):
     out = ops.gather_by_idx(x, idx)
     for b in range(2):
         np.testing.assert_array_equal(np.asarray(out[b]), x[b][idx[b]])
+
+
+def test_knn_gradient_finite_at_zero_distance(rng):
+    """d(sqrt)/d(sq) → ∞ at sq == 0: self-distances and interpolation
+    queries that coincide with known points hit this on every forward.
+    Regression for the seg-model NaN (UpSampleInterpolation backprops
+    through knn distances into the STN-transformed xyz)."""
+    import jax
+    import jax.numpy as jnp
+
+    known = rng.normal(size=(2, 8, 3)).astype(np.float32)
+    # queries contain the known points themselves (exact zero distances)
+    unknown = np.concatenate([known, rng.normal(size=(2, 8, 3)).astype(np.float32)], 1)
+
+    def loss(unknown, known):
+        d, _ = ops.knn(jnp.asarray(unknown), jnp.asarray(known), 3)
+        return jnp.sum(d)
+
+    g_u, g_k = jax.grad(loss, argnums=(0, 1))(unknown, known)
+    assert bool(jnp.isfinite(g_u).all()) and bool(jnp.isfinite(g_k).all())
+    # values still match the positive-distance convention (up to f32
+    # cancellation noise in the ‖a‖²-2ab+‖b‖² expansion)
+    d, _ = ops.knn(jnp.asarray(unknown), jnp.asarray(known), 1)
+    np.testing.assert_allclose(np.asarray(d[:, :8, 0]), 0.0, atol=2e-3)
