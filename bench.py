@@ -7,10 +7,14 @@ high-res, APES global-attention variant, ShapeNet seg, train-step
 throughput) and the Pallas-vs-XLA kernel parity/speedup checks print as
 ``#``-prefixed stderr lines and ride along in the JSON under ``extra``.
 
-Methodology (measured on this box, see git history): host readback over the
-tunnelled TPU costs ~26 ms-2.7 s per call, so timing loops dispatch all
-iterations asynchronously and block once on the final output — never a
-per-call readback (round 1 did, and under-measured).  ``vs_baseline`` is
+Methodology (measured on this box, see git history): on the tunnelled TPU,
+repeated dispatches with bitwise-identical inputs can report absurd rates
+(>1M clouds/s) — plain ``block_until_ready`` loops are NOT trustworthy
+here.  Every timing loop therefore CHAINS iterations (each call's input is
+perturbed by a summary of the previous output, so no call can be elided or
+served from any cache) and fences with one host readback of a tiny output
+buffer.  Per-call host readbacks are also avoided (they serialize the
+tunnel; round 1 did that and under-measured).  ``vs_baseline`` is
 relative to round 1's recorded 191.78 clouds/sec (same chip, this
 framework's first measurement; the PyTorch reference publishes no numbers,
 BASELINE.md).  Round 1 also benched a semi-degenerate config (M=[1024,512]
@@ -18,8 +22,10 @@ at N=1024 — the first downsampler kept ALL points); this bench scales M
 with N (1024 → M=[512,256]), i.e. it does strictly MORE work per cloud
 than the anchor.
 
-Env knobs: SAMBLE_BENCH_QUICK=1 → primary config only.
-           SAMBLE_BENCH_F32=1   → float32 instead of bfloat16.
+Env knobs: SAMBLE_BENCH_QUICK=1     → primary config only.
+           SAMBLE_BENCH_F32=1       → float32 instead of bfloat16.
+           SAMBLE_BENCH_TRACE=<dir> → capture a jax.profiler trace of one
+                                      primary-config batch into <dir>.
 """
 
 import json
@@ -40,33 +46,42 @@ def _log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def _timeit(fn, args, iters=20, warmup=2):
-    """Pipelined timing: dispatch all iters, block once on the last output."""
-    import jax
+def _timeit_chained(fn_out, x0, iters=10, warmup=2):
+    """Chained timing: iteration i's input depends on iteration i-1's
+    output; the final fence is a host readback of a tiny summary buffer.
 
-    out = fn(*args)
-    jax.block_until_ready(out)
-    for _ in range(warmup - 1):
-        out = fn(*args)
-    jax.block_until_ready(out)
+    :param fn_out: ``points -> output array`` (pure, jit-compatible)
+    :param x0: initial points array (device)
+    :returns: seconds per call
+    """
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def step(p):
+        out = fn_out(p)
+        s = jnp.mean(out.astype(jnp.float32))
+        return p + 1e-6 * s, s.reshape(1)
+
+    c = x0
+    for _ in range(warmup):
+        c, s = step(c)
+        np.asarray(s)  # full sync incl. host readback
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
+        c, s = step(c)
+    np.asarray(s)  # fence: s depends on the whole chain
     return (time.perf_counter() - t0) / iters
 
 
 def _flops_of(fn, *args):
-    import jax
+    from samble_tpu.utils.profiling import flops_estimate
 
-    try:
-        ca = jax.jit(fn).lower(*args).compile().cost_analysis()
-        if isinstance(ca, (list, tuple)):
-            ca = ca[0]
-        return float(ca.get("flops", 0.0)) or None
-    except Exception as e:
-        _log(f"# cost_analysis unavailable: {type(e).__name__}: {e}")
+    flops = flops_estimate(fn, *args)
+    if not flops:
+        _log("# cost_analysis unavailable")
         return None
+    return flops
 
 
 def _build_cls(cfg_overrides, n_points, dtype, train=False):
@@ -100,16 +115,16 @@ def _build_cls(cfg_overrides, n_points, dtype, train=False):
     return cfg, model_train, model_eval, variables
 
 
-def _forward_fn(model_eval):
+def _forward_fn(model_eval, variables):
     import jax
 
-    def forward(variables, points):
+    def forward(points):
         logits, _ = model_eval.apply(
             variables, points, rngs={"sampling": jax.random.key(3)}
         )
         return logits
 
-    return jax.jit(forward)
+    return forward
 
 
 def bench_cls_inference(n_points, m_schedule, batch_sizes, dtype, tag,
@@ -121,7 +136,7 @@ def bench_cls_inference(n_points, m_schedule, batch_sizes, dtype, tag,
         [f"feature_learning_block.downsample.M={list(m_schedule)}"],
         n_points, dtype,
     )
-    forward = _forward_fn(model_eval)
+    forward = _forward_fn(model_eval, variables)
     rng = np.random.default_rng(1)
     best, best_bs, best_flops = 0.0, None, None
     for bs in batch_sizes:
@@ -129,8 +144,8 @@ def bench_cls_inference(n_points, m_schedule, batch_sizes, dtype, tag,
             rng.normal(size=(bs, n_points, 3)).astype(np.float32)
         )
         try:
-            dt = _timeit(forward, (variables, points))
-            flops = _flops_of(forward, variables, points) if want_flops else None
+            dt = _timeit_chained(forward, points)
+            flops = _flops_of(forward, points) if want_flops else None
         except Exception as e:
             _log(f"# {tag} bs={bs} failed: {type(e).__name__}: {e}")
             continue
@@ -164,11 +179,17 @@ def bench_train_step(n_points, m_schedule, bs, dtype):
     points = jax.device_put(rng.normal(size=(bs, n_points, 3)).astype(np.float32))
     label = jax.device_put(rng.integers(0, 40, bs).astype(np.int32))
 
-    def one(state, points, label):
-        new_state, out = step(state, (points, label), jax.random.key(7))
-        return out["loss"]
-
-    dt = _timeit(one, (state, points, label), iters=10)
+    # the state update chains iterations naturally (params change every
+    # call); fence = loss readback
+    for _ in range(2):
+        state, out = step(state, (points, label), jax.random.key(7))
+        np.asarray(out["loss"])
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, out = step(state, (points, label), jax.random.key(7))
+    np.asarray(out["loss"])
+    dt = (time.perf_counter() - t0) / iters
     return bs / dt, dt
 
 
@@ -199,16 +220,16 @@ def bench_seg_inference(n_points, bs, dtype):
         pts8, cat8,
     )
 
-    def forward(variables, points, cat):
+    points = jax.device_put(rng.normal(size=(bs, n_points, 3)).astype(np.float32))
+    cat = jax.device_put(np.eye(16, dtype=np.float32)[rng.integers(0, 16, bs)])
+
+    def forward(points):
         logits, _ = model_eval.apply(
             variables, points, cat, rngs={"sampling": jax.random.key(3)}
         )
         return logits
 
-    fwd = jax.jit(forward)
-    points = jax.device_put(rng.normal(size=(bs, n_points, 3)).astype(np.float32))
-    cat = jax.device_put(np.eye(16, dtype=np.float32)[rng.integers(0, 16, bs)])
-    dt = _timeit(fwd, (variables, points, cat), iters=10)
+    dt = _timeit_chained(forward, points, iters=8)
     return bs / dt, dt
 
 
@@ -231,15 +252,17 @@ def bench_kernels():
     x = jax.device_put(rng.normal(size=(b, n, c)).astype(np.float32))
 
     # -- kNN ---------------------------------------------------------------
-    xla_knn = jax.jit(lambda a: nbr.knn(a, a, k)[1])
-    pl_knn = jax.jit(
-        lambda a: kernels.knn_pallas(*nbr._normalize_pair(a, a), k)[1]
-    )
-    i_x = np.asarray(xla_knn(x))
-    i_p = np.asarray(pl_knn(x))
+    def xla_knn(a):
+        return nbr.knn(a, a, k)[1]
+
+    def pl_knn(a):
+        return kernels.knn_pallas(*nbr._normalize_pair(a, a), k)[1]
+
+    i_x = np.asarray(jax.jit(xla_knn)(x))
+    i_p = np.asarray(jax.jit(pl_knn)(x))
     match = float((np.sort(i_x, -1) == np.sort(i_p, -1)).mean())
-    t_x = _timeit(xla_knn, (x,), iters=10)
-    t_p = _timeit(pl_knn, (x,), iters=10)
+    t_x = _timeit_chained(xla_knn, x)
+    t_p = _timeit_chained(pl_knn, x)
     out["knn"] = {
         "idx_match": round(match, 6),
         "xla_ms": round(t_x * 1e3, 3),
@@ -268,13 +291,12 @@ def bench_kernels():
         cm, cf, cc = sparse_attention_score_pallas(q, kk, nb_idx, float(scale))
         return score_from_colsums(cm, cf, cc, "sparse_col_sqr")
 
-    f_x, f_p = jax.jit(xla_score), jax.jit(pl_score)
-    s_x = np.asarray(f_x(q, kk, nb_idx))
-    s_p = np.asarray(f_p(q, kk, nb_idx))
+    s_x = np.asarray(jax.jit(xla_score)(q, kk, nb_idx))
+    s_p = np.asarray(jax.jit(pl_score)(q, kk, nb_idx))
     denom = np.abs(s_x).max() + 1e-12
     err = float(np.abs(s_x - s_p).max() / denom)
-    t_x = _timeit(f_x, (q, kk, nb_idx), iters=10)
-    t_p = _timeit(f_p, (q, kk, nb_idx), iters=10)
+    t_x = _timeit_chained(lambda a: xla_score(a, kk, nb_idx), q)
+    t_p = _timeit_chained(lambda a: pl_score(a, kk, nb_idx), q)
     out["score"] = {
         "rel_err": round(err, 8),
         "xla_ms": round(t_x * 1e3, 3),
@@ -303,6 +325,22 @@ def main():
     best, best_bs, flops = bench_cls_inference(
         1024, [512, 256], (64, 128, 256), dtype, "cls-1024", want_flops=True
     )
+
+    trace_dir = os.environ.get("SAMBLE_BENCH_TRACE")
+    if trace_dir:
+        from samble_tpu.utils.profiling import trace
+
+        _, _, model_eval, variables = _build_cls(
+            ["feature_learning_block.downsample.M=[512,256]"], 1024, dtype
+        )
+        fwd = _forward_fn(model_eval, variables)
+        pts = jax.device_put(
+            np.random.default_rng(9).normal(size=(128, 1024, 3)).astype(np.float32)
+        )
+        jax.block_until_ready(jax.jit(fwd)(pts))  # compile outside the trace
+        with trace(trace_dir):
+            jax.block_until_ready(jax.jit(fwd)(pts))
+        _log(f"# profiler trace written to {trace_dir}")
     if flops:
         flops_per_sec = flops / best_bs * best
         extra["flops_per_cloud_G"] = round(flops / best_bs / 1e9, 3)
@@ -388,10 +426,10 @@ def _bench_apes(dtype):
         ],
         1024, dtype,
     )
-    forward = _forward_fn(model_eval)
+    forward = _forward_fn(model_eval, variables)
     rng = np.random.default_rng(5)
     points = jax.device_put(rng.normal(size=(128, 1024, 3)).astype(np.float32))
-    dt = _timeit(forward, (variables, points), iters=10)
+    dt = _timeit_chained(forward, points)
     return 128 / dt, 128
 
 

@@ -34,12 +34,14 @@ def use_pallas() -> bool:
         return False
 
 
+from samble_tpu.kernels.edgeconv import edgeconv_pallas  # noqa: E402
 from samble_tpu.kernels.knn import knn_pallas  # noqa: E402
 from samble_tpu.kernels.n2p import n2p_attention  # noqa: E402
 from samble_tpu.kernels.score import sparse_attention_score_pallas  # noqa: E402
 
 __all__ = [
     "use_pallas",
+    "edgeconv_pallas",
     "knn_pallas",
     "n2p_attention",
     "sparse_attention_score_pallas",

@@ -30,6 +30,7 @@ class EdgeConv(nn.Module):
     conv1_out: int
     conv2_out: int
     normal_channel: bool = False
+    impl: str = "auto"  # 'auto' | 'fused' | 'gather' (fused = eval only)
     train: bool = True
     dtype: Any = jnp.float32
 
@@ -53,28 +54,64 @@ class EdgeConv(nn.Module):
             idx = ops.neighbors.knn_indices(x, self.k)
         x = x.astype(self.dtype)
 
+        # Every group mode reduces to a rank-1 pre-activation
+        # z_ij = u_i + w_j of two per-point vectors:
         if self.group_type == "center_diff":
             w_center, w_diff = kernel[:c], kernel[c:]
-            p_self = x @ (w_center - w_diff)  # (B, N, C1)
-            p_nb = x @ w_diff
-            g = p_self[:, :, None] + ops.index_points(p_nb, idx)
+            u = x @ (w_center - w_diff)  # (B, N, C1)
+            w = x @ w_diff
         elif self.group_type == "center_neighbor":
-            w_center, w_nb = kernel[:c], kernel[c:]
-            p_self = x @ w_center
-            p_nb = x @ w_nb
-            g = p_self[:, :, None] + ops.index_points(p_nb, idx)
+            u = x @ kernel[:c]
+            w = x @ kernel[c:]
         elif self.group_type == "diff":
-            p = x @ kernel
-            g = ops.index_points(p, idx) - p[:, :, None]
+            w = x @ kernel
+            u = -w
         elif self.group_type == "neighbor":
-            p = x @ kernel
-            g = ops.index_points(p, idx)
+            w = x @ kernel
+            u = jnp.zeros_like(w)
         else:
             raise ValueError(f"unknown group_type: {self.group_type}")
-        # g: (B, N, K, conv1_out)
-        g = PointBatchNorm(use_running_average=not self.train, dtype=self.dtype)(g)
+
+        bn1 = PointBatchNorm(use_running_average=not self.train, dtype=self.dtype)
+        cbl = ConvBNLeaky(self.conv2_out, train=self.train, dtype=self.dtype)
+
+        from samble_tpu import kernels
+
+        use_fused = self.impl == "fused" or (
+            self.impl == "auto"
+            and not self.train
+            and kernels.use_pallas()
+            and n >= 256
+            and self.k <= 128
+        )
+        if use_fused:
+            # Fused eval path (kernels/edgeconv.py): in eval mode BN is a
+            # per-channel affine, so probe the existing submodules for
+            # their affine forms — the parameter tree stays identical to
+            # the gather path, checkpoints interchange freely.
+            c1 = self.conv1_out
+            zero = jnp.zeros((1, 1, c1), self.dtype)
+            one = jnp.ones((1, 1, c1), self.dtype)
+            b1 = bn1(zero)  # (1, 1, C1)
+            a1 = bn1(one) - b1
+            u_p = a1[0] * u + b1[0]
+            w_p = a1[0] * w
+            # ConvBNLeaky ends in leaky(0.2), which is invertible — probe
+            # through it: affine(g) = leaky⁻¹(cbl(g))
+            probes = jnp.concatenate([zero, jnp.eye(c1, dtype=self.dtype)[None]], 1)
+            pr = cbl(probes)  # (1, C1 + 1, C2)
+            pr = jnp.where(pr >= 0, pr, pr / 0.2)
+            b2 = pr[0, 0]
+            w2 = pr[0, 1:] - b2[None]
+            return kernels.edgeconv_pallas(
+                u_p, w_p, idx, w2, b2, alpha=0.2,
+                interpret=not kernels.use_pallas(),
+            )
+
+        g = u[:, :, None] + ops.index_points(w, idx)  # (B, N, K, conv1_out)
+        g = bn1(g)
         g = leaky_relu(g)
-        g = ConvBNLeaky(self.conv2_out, train=self.train, dtype=self.dtype)(g)
+        g = cbl(g)
         return jnp.max(g, axis=2)  # (B, N, conv2_out)
 
 

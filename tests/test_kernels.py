@@ -86,3 +86,32 @@ def test_score_kernel_nonaligned_shapes():
     cm, cf, cc = sparse_attention_score_pallas(q, keys, nb_idx, scale, interpret=True)
     got = score_from_colsums(cm, cf, cc, "sparse_col_sqr")
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=1e-6)
+
+
+@pytest.mark.parametrize("group_type",
+                         ["center_diff", "center_neighbor", "diff", "neighbor"])
+def test_fused_edgeconv_matches_gather(group_type):
+    """Eval-mode fused EdgeConv (BN affine folded by submodule probing,
+    one-hot MXU gather) vs the reference-shaped gather path, shared params."""
+    import jax.numpy as jnp
+
+    from samble_tpu.nn.embedding import EdgeConv
+
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(2, 64, 6)).astype(np.float32)
+    gather = EdgeConv(k=8, group_type=group_type, conv1_out=16, conv2_out=16,
+                      impl="gather", train=False)
+    fused = EdgeConv(k=8, group_type=group_type, conv1_out=16, conv2_out=16,
+                     impl="fused", train=False)
+    train_mod = EdgeConv(k=8, group_type=group_type, conv1_out=16,
+                         conv2_out=16, train=True)
+    variables = train_mod.init({"params": jax.random.key(0)}, x)
+    # push BN running stats off their init values so the affine fold is
+    # actually exercised
+    _, upd = train_mod.apply(variables, x, mutable=["batch_stats"])
+    variables = {"params": variables["params"], **upd}
+    out_g = gather.apply(variables, x)
+    out_f = fused.apply(variables, x)
+    np.testing.assert_allclose(
+        np.asarray(out_f), np.asarray(out_g), rtol=2e-4, atol=2e-5
+    )
