@@ -91,3 +91,52 @@ def test_sharded_multiple_steps_stay_finite():
         pts, lbl = shard_batch(mesh, (pts, lbl))
         state, out = step(state, (pts, lbl), jax.random.key(i))
         assert np.isfinite(float(out["loss"]))
+
+
+def test_sharded_step_matches_unsharded_topk_exact():
+    """Deterministic 'topk' sampler variant: no Gumbel noise, so almost all
+    discrete choices are stable and the divergence budget drops 10x to
+    0.1%.  True exact equality is unattainable even here: the dynamic bin
+    boundaries are quantiles of f32 sums whose sharded reassociation can
+    move a single score across a boundary, flipping one sampled index
+    (observed: 1 element / 32768 at 4e-3 rel).  A gradient-sync bug
+    diverges essentially every element, far above this budget."""
+    assert jax.device_count() >= 8
+    cfg = tiny_cls_config(sample_mode="topk")
+    cfg.train = {
+        "lr": 1e-3,
+        "epochs": 2,
+        "lr_scheduler": {"enable": False},
+        "optimizer": {"which": "adamw", "weight_decay": 1e-4},
+        "label_smoothing": False,
+        "grad_clip": {"enable": False},
+    }
+    model = ClsModel(cfg=cfg, train=True)
+    tx = make_optimizer(cfg.train, steps_per_epoch=4)
+    example = (np.zeros((B, N, 3), np.float32),)
+    state = create_train_state(model, example, tx, jax.random.key(0))
+    step = make_train_step(model, cfg, "cls", 40, donate=False)
+    rng = np.random.default_rng(7)
+    points = rng.normal(size=(B, N, 3)).astype(np.float32)
+    label = rng.integers(0, 40, B).astype(np.int32)
+
+    s1, out1 = step(state, (jnp.asarray(points), jnp.asarray(label)),
+                    jax.random.key(3))
+    mesh = make_mesh(jax.devices()[:8])
+    state_r = replicate_state(mesh, state)
+    pts_s, lbl_s = shard_batch(mesh, (points, label))
+    s2, out2 = step(state_r, (pts_s, lbl_s), jax.random.key(3))
+
+    np.testing.assert_allclose(float(out1["loss"]), float(out2["loss"]),
+                               rtol=1e-5)
+    a1 = np.concatenate(
+        [np.asarray(x).ravel() for x in jax.tree_util.tree_leaves(s1.params)]
+    )
+    a2 = np.concatenate(
+        [np.asarray(x).ravel() for x in jax.tree_util.tree_leaves(s2.params)]
+    )
+    mismatch = np.abs(a1 - a2) > (1e-4 * np.abs(a1) + 1e-6)
+    assert mismatch.mean() < 1e-3, (
+        f"{mismatch.mean():.4%} of parameters diverged (topk sampler) — "
+        "indicates a gradient-sync bug, not boundary noise"
+    )
