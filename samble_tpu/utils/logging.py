@@ -45,6 +45,13 @@ class MetricLogger:
         if cfg is not None and hasattr(cfg, "to_dict"):
             with open(os.path.join(workdir, "run_config.json"), "w") as f:
                 json.dump(cfg.to_dict(), f, indent=2, default=str)
+            # source snapshot (reference uploads a code copy per run,
+            # train_modelnet.py:109-155); a zip of the package tree makes
+            # every run reproducible even across uncommitted edits
+            try:
+                self._snapshot_source(workdir)
+            except Exception as e:  # pragma: no cover
+                print(f"[logging] source snapshot failed ({e})")
             wandb_cfg = cfg.select("wandb")
             if wandb_cfg is not None and wandb_cfg.get("enable", False):
                 try:
@@ -59,6 +66,22 @@ class MetricLogger:
                 except Exception as e:  # pragma: no cover
                     print(f"[logging] wandb unavailable ({e}); local logs only")
         self._jsonl.write(json.dumps({"run_meta": meta}) + "\n")
+
+    @staticmethod
+    def _snapshot_source(workdir: str) -> None:
+        import zipfile
+
+        pkg_root = os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))
+        )  # samble_tpu/
+        out = os.path.join(workdir, "source_snapshot.zip")
+        with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as zf:
+            for root, dirs, files in os.walk(pkg_root):
+                dirs[:] = [d for d in dirs if d != "__pycache__"]
+                for f in files:
+                    if f.endswith(".py"):
+                        p = os.path.join(root, f)
+                        zf.write(p, os.path.relpath(p, os.path.dirname(pkg_root)))
 
     def log(self, metrics: Dict[str, Any]):
         rec = {k: (float(v) if hasattr(v, "item") else v) for k, v in metrics.items()}
