@@ -145,12 +145,9 @@ def n2p_dense_reference(q, k, v, idx, heads, scale, negate, subtract_v):
     energy = jnp.einsum("bnhd,bmhd->bhnm", qh, kh)
     if negate:
         energy = -energy
-    rows = jnp.broadcast_to(
-        jnp.arange(n, dtype=jnp.int32)[:, None], idx.shape
-    )
-    neighbor = jax.vmap(
-        lambda i, r: jnp.zeros((n, n), jnp.bool_).at[r, i].set(True)
-    )(idx, rows)
+    # compare-reduce adjacency (2.6x faster than scatter on TPU, see
+    # ops.neighbors.mask_from_idx)
+    neighbor = (idx[..., None] == jnp.arange(n, dtype=idx.dtype)).any(axis=2)
     energy = jnp.where(
         neighbor[:, None], energy.astype(jnp.float32) * scale, -jnp.inf
     )
