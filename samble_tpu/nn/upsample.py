@@ -135,11 +135,13 @@ class UpSampleInterpolation(nn.Module):
 
         if self.distance_type == "feature":
             neighbors, _, d = ops.select_neighbors_interpolate(
-                pcd_up, points_select, sel_conv, k=self.k
+                pcd_up, points_select, sel_conv, k=self.k,
+                differentiable=self.train,
             )
         elif self.distance_type == "xyz":
             neighbors, _, d = ops.select_neighbors_interpolate(
-                pcd_up_xyz, points_select_xyz, sel_conv, k=self.k
+                pcd_up_xyz, points_select_xyz, sel_conv, k=self.k,
+                differentiable=self.train,
             )
         else:
             raise ValueError(

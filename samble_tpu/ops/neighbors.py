@@ -184,20 +184,25 @@ def group(pcd: jax.Array, k: int, group_type: str, normal_channel: bool = False)
 
 
 def select_neighbors_interpolate(
-    unknown: jax.Array, known: jax.Array, known_feature: jax.Array, k: int = 3
+    unknown: jax.Array, known: jax.Array, known_feature: jax.Array, k: int = 3,
+    differentiable: bool = True,
 ):
     """Neighbors for PointNet++-style interpolation upsampling.
 
     :param unknown: (B, N, C) high-res positions/features (queries)
     :param known: (B, M, C) low-res positions/features
     :param known_feature: (B, M, F) features to interpolate
+    :param differentiable: the interpolation weights 1/d are differentiable
+        w.r.t. the positions; training needs that gradient, so it uses the
+        XLA path.  Evaluation passes False and takes the fused Pallas kNN
+        (distances quantized at 2^-13 relative — below f32 expansion noise).
     :returns: ``(neighbors (B, N, K, F), idx (B, N, K), dist (B, N, K))``
         where ``dist`` is the *positive* euclidean distance (the reference
         negates the kNN output back, utils/ops.py:73).
 
     Reference: utils/ops.py:68-80.
     """
-    d, idx = knn(unknown, known, k)
+    d, idx = (knn if differentiable else knn_fast)(unknown, known, k)
     d = -d  # back to positive distance
     neighbors = index_points(known_feature, idx)
     return neighbors, idx, d
