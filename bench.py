@@ -47,31 +47,9 @@ def _log(msg):
 
 
 def _timeit_chained(fn_out, x0, iters=10, warmup=2):
-    """Chained timing: iteration i's input depends on iteration i-1's
-    output; the final fence is a host readback of a tiny summary buffer.
+    from samble_tpu.utils.profiling import timeit_chained
 
-    :param fn_out: ``points -> output array`` (pure, jit-compatible)
-    :param x0: initial points array (device)
-    :returns: seconds per call
-    """
-    import jax
-    import jax.numpy as jnp
-
-    @jax.jit
-    def step(p):
-        out = fn_out(p)
-        s = jnp.mean(out.astype(jnp.float32))
-        return p + 1e-6 * s, s.reshape(1)
-
-    c = x0
-    for _ in range(warmup):
-        c, s = step(c)
-        np.asarray(s)  # full sync incl. host readback
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        c, s = step(c)
-    np.asarray(s)  # fence: s depends on the whole chain
-    return (time.perf_counter() - t0) / iters
+    return timeit_chained(fn_out, x0, iters=iters, warmup=warmup)
 
 
 def _flops_of(fn, *args):
@@ -248,7 +226,9 @@ def bench_kernels():
 
     out = {}
     rng = np.random.default_rng(4)
-    b, n, c, k = 8, 1024, 128, 32
+    # production-representative batch: tiny batches underfill the grid and
+    # mostly measure pipeline overhead
+    b, n, c, k = 64, 1024, 128, 32
     x = jax.device_put(rng.normal(size=(b, n, c)).astype(np.float32))
 
     # -- kNN ---------------------------------------------------------------

@@ -91,3 +91,39 @@ def build_config_from_run(run_config_path: str, overrides):
     if overrides:
         data = merge(data, parse_cli_overrides(list(overrides)))
     return Config(data)
+
+
+def build_test_config(argv, dataset: str, default_usr: str):
+    """Shared test-CLI plumbing: parse ``ckpt=``/``introspect=``, resurrect
+    the run's saved config when no explicit usr_config is given, normalize
+    the checkpoint dir.  Returns ``(cfg, ckpt_dir, workdir, synthetic,
+    introspect)``."""
+    import sys as _sys
+
+    argv = list(_sys.argv[1:] if argv is None else argv)
+    ckpt = None
+    introspect = False
+    rest = []
+    for a in argv:
+        if a.startswith("ckpt="):
+            ckpt = a.split("=", 1)[1]
+        elif a.startswith("introspect="):
+            introspect = a.split("=", 1)[1].lower() in ("1", "true", "yes")
+        else:
+            rest.append(a)
+    if ckpt is None:
+        raise SystemExit(
+            f"usage: test_{dataset} ckpt=<run or checkpoints dir> [overrides]"
+        )
+    run_cfg_path, _ = resurrect_run_config(ckpt)
+    ckpt = normalize_ckpt_dir(ckpt)
+    explicit_usr = any(a.startswith("usr_config=") for a in rest)
+    if run_cfg_path is not None and not explicit_usr:
+        specials = [a for a in rest if a.split("=", 1)[0] in
+                    ("workdir", "synthetic_data")]
+        overrides = [a for a in rest if a not in specials]
+        cfg = build_config_from_run(run_cfg_path, overrides)
+        _, workdir, synthetic, _ = build_config(specials, dataset, default_usr)
+    else:
+        cfg, workdir, synthetic, _ = build_config(rest, dataset, default_usr)
+    return cfg, ckpt, workdir, synthetic, introspect

@@ -1,7 +1,10 @@
 """ModelNet40 evaluation CLI (reference test_modelnet.py).
 
-    python -m samble_tpu.cli.test_modelnet ckpt=<run_workdir/checkpoints> \\
-        [usr_config=...] [introspect=true] [key=value ...]
+    python -m samble_tpu.cli.test_modelnet ckpt=<run_workdir or its
+        checkpoints dir> [usr_config=...] [introspect=true] [key=value ...]
+
+Without an explicit ``usr_config``, the run's saved ``run_config.json`` is
+resurrected (reference test_modelnet.py:51-59) with CLI overrides applied.
 """
 
 from __future__ import annotations
@@ -9,42 +12,13 @@ from __future__ import annotations
 import json
 import sys
 
-from samble_tpu.cli.common import (
-    build_config,
-    build_config_from_run,
-    normalize_ckpt_dir,
-    resurrect_run_config,
-)
+from samble_tpu.cli.common import build_test_config
 
 
 def main(argv=None):
-    argv = list(sys.argv[1:] if argv is None else argv)
-    ckpt = None
-    introspect = False
-    rest = []
-    for a in argv:
-        if a.startswith("ckpt="):
-            ckpt = a.split("=", 1)[1]
-        elif a.startswith("introspect="):
-            introspect = a.split("=", 1)[1].lower() in ("1", "true", "yes")
-        else:
-            rest.append(a)
-    if ckpt is None:
-        raise SystemExit("usage: test_modelnet ckpt=<checkpoints dir> [overrides]")
-    # config resurrection from the run dir (reference test_modelnet.py:51-59):
-    # unless the user names a usr_config explicitly, reload the exact config
-    # the checkpoint was trained with, with CLI overrides still applied.
-    run_cfg_path, _ = resurrect_run_config(ckpt)
-    ckpt = normalize_ckpt_dir(ckpt)
-    explicit_usr = any(a.startswith("usr_config=") for a in rest)
-    if run_cfg_path is not None and not explicit_usr:
-        specials = [a for a in rest if a.split("=", 1)[0] in
-                    ("workdir", "synthetic_data")]
-        overrides = [a for a in rest if a not in specials]
-        cfg = build_config_from_run(run_cfg_path, overrides)
-        _, workdir, synthetic, _ = build_config(specials, "modelnet", "cls.yaml")
-    else:
-        cfg, workdir, synthetic, _ = build_config(rest, "modelnet", "cls.yaml")
+    cfg, ckpt, workdir, synthetic, introspect = build_test_config(
+        argv, "modelnet", "cls.yaml"
+    )
     cfg.mode = "test"
     from samble_tpu.train.eval import evaluate_modelnet
 

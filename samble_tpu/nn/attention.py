@@ -61,8 +61,16 @@ class Neighbor2PointAttention(nn.Module):
             return "gather"
         from samble_tpu import kernels
 
-        if kernels.use_pallas() and n >= 256 and self.k <= 128:
-            return "pallas"
+        if n >= 256 and self.k <= 128:
+            if kernels.use_pallas():
+                return "pallas"
+            try:
+                if jax.default_backend() == "tpu":
+                    # SAMBLE_DISABLE_PALLAS=1 etc: the dense-masked MXU
+                    # rewrite still beats gathers on TPU (52 vs 180 ms)
+                    return "dense"
+            except Exception:
+                pass
         return "gather"
 
     @nn.compact
@@ -92,31 +100,14 @@ class Neighbor2PointAttention(nn.Module):
                 raise ValueError(f"asm must be dot or dot-sub, got {self.asm}")
             negate = self.asm == "dot-sub"
             subtract_v = self.group_type == "diff"
-            if impl == "pallas":
-                from samble_tpu.kernels.n2p import n2p_attention
+            from samble_tpu.kernels.n2p import n2p_attention, n2p_dense_reference
 
-                out = n2p_attention(
-                    merge_heads(q), k_pt, v_pt, idx,
-                    self.num_heads, scale, negate, subtract_v,
-                )
-                return self._res_ffn(x, out)
-            kh = split_heads(k_pt, self.num_heads)  # (B, N, H, D)
-            vh = split_heads(v_pt, self.num_heads)
-            energy = jnp.einsum("bnhd,bmhd->bhnm", q, kh)  # (B, H, N, N)
-            if negate:
-                energy = -energy
-            neighbor = ops.neighbors.mask_from_idx(idx, n) > 0  # (B, N, N)
-            energy = jnp.where(
-                neighbor[:, None],
-                energy.astype(jnp.float32) * scale,
-                jnp.finfo(jnp.float32).min,
+            fn = n2p_attention if impl == "pallas" else n2p_dense_reference
+            out = fn(
+                merge_heads(q), k_pt, v_pt, idx,
+                self.num_heads, scale, negate, subtract_v,
             )
-            attn = jax.nn.softmax(energy, axis=-1).astype(self.dtype)
-            out = jnp.einsum("bhnm,bmhd->bnhd", attn, vh)  # (B, N, H, D)
-            if subtract_v:
-                out = out - vh
-            out = merge_heads(out)
-            return self._res_ffn(x, out)
+            return self._res_ffn(x, out.astype(self.dtype))
 
         k_nb = ops.index_points(k_pt, idx)  # (B, N, K, C)
         v_nb = ops.index_points(v_pt, idx)

@@ -77,6 +77,11 @@ class EdgeConv(nn.Module):
 
         from samble_tpu import kernels
 
+        if self.impl == "fused" and self.train:
+            # the BN affine fold is only valid with frozen running stats;
+            # in train mode the probes would yield a1 == 0 (constant-input
+            # batch statistics) and silently corrupt batch_stats
+            raise ValueError("EdgeConv impl='fused' is eval-only")
         use_fused = self.impl == "fused" or (
             self.impl == "auto"
             and not self.train

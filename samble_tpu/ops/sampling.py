@@ -177,24 +177,58 @@ def generate_downsampled_index(
 
 
 def _sorted_chunk_bins(scores: jax.Array, num_bins: int):
-    """Equal-size score bins by descending sort (ops.sort_chunk layout).
+    """Descending-sort score chunks with ``torch.chunk`` semantics: chunk
+    size ``ceil(N / num_bins)``, ragged (possibly smaller/empty) last chunk
+    — so the shipped defaults (num_bins=6 at N=1024/2048) work, unlike the
+    reference's bin2 path which asserts divisibility.
 
     :param scores: (B, N)
-    :returns: ``(bin_id (B, N) int32, sorted_vals (B, num_bins, chunk))``
-        where ``bin_id[b, p]`` is the chunk index point p lands in.
+    :returns: ``(bin_id (B, N) int32, hi (B, nb), lo (B, nb), mean (B, nb),
+        counts (nb,) int32)`` — per-chunk max/min/mean of the sorted scores
+        and each chunk's population.
     """
     b, n = scores.shape
-    assert n % num_bins == 0, "N must be divisible by num_bins"
-    chunk = n // num_bins
+    assert n >= num_bins, "need at least one point per bin"
+    cs = -(-n // num_bins)  # ceil
     order = jnp.argsort(-scores, axis=-1).astype(jnp.int32)  # (B, N) desc
-    chunk_of_pos = (jnp.arange(n, dtype=jnp.int32) // chunk)[None]  # (1, N)
+    chunk_of_pos = jnp.minimum(
+        jnp.arange(n, dtype=jnp.int32) // cs, num_bins - 1
+    )[None]  # (1, N)
     bin_id = jax.vmap(lambda o, c: jnp.zeros((n,), jnp.int32).at[o].set(c))(
         order, jnp.broadcast_to(chunk_of_pos, (b, n))
     )
-    sorted_vals = jnp.take_along_axis(scores, order, axis=-1).reshape(
-        b, num_bins, chunk
-    )
-    return bin_id, sorted_vals
+    svals = jnp.take_along_axis(scores, order, axis=-1)  # (B, N) desc
+    pad = num_bins * cs - n
+    svp = jnp.pad(svals, ((0, 0), (0, pad))).reshape(b, num_bins, cs)
+    valid = (jnp.arange(num_bins * cs) < n).reshape(num_bins, cs)
+    counts = valid.sum(axis=1).astype(jnp.int32)  # (nb,)
+    hi = svp[:, :, 0]  # first of a descending chunk = its max
+    last = jnp.maximum(counts - 1, 0)  # last valid element = its min
+    lo = jnp.take_along_axis(svp, last[None, :, None], axis=2)[..., 0]
+    mean = jnp.sum(svp * valid[None], axis=2) / jnp.maximum(counts, 1)[None]
+    return bin_id, hi, lo, mean, counts
+
+
+def _balance_budgets(budgets: jax.Array, counts: jax.Array, m: int):
+    """Force ``Σ budgets == M`` (requires M ≤ N): a deficit is poured into
+    the first bins with spare population; a surplus (saturated bin_prob
+    making the reference's last-bin remainder negative) is trimmed from the
+    last bins."""
+    num_bins = budgets.shape[1]
+    total = jnp.sum(budgets, axis=1)  # (B,)
+    deficit = jnp.maximum(m - total, 0)
+    surplus = jnp.maximum(total - m, 0)
+    cols = list(jnp.moveaxis(budgets, 1, 0))
+    for j in range(num_bins):
+        space = counts[j] - cols[j]
+        add = jnp.clip(deficit, 0, space)
+        cols[j] = cols[j] + add
+        deficit = deficit - add
+    for j in reversed(range(num_bins)):
+        sub = jnp.clip(surplus, 0, cols[j])
+        cols[j] = cols[j] - sub
+        surplus = surplus - sub
+    return jnp.stack(cols, axis=1)
 
 
 def _select_by_bin_budget(pert, bin_id, budgets, num_bins, m):
@@ -233,27 +267,31 @@ def bin_idx_selection(
 
     :param scores: (B, N)
     :param bin_prob: (B, num_bins) in [0.5, 1] (from the bin_conv head)
-    :returns: ``(idx (B, M) int32, k_counts (B, num_bins) int32)``
+    :returns: ``(idx (B, M) int32, k_counts (B, num_bins) int32)`` — the
+        counts always describe the actual selection: budgets that exceed a
+        chunk's population (or a negative last-bin remainder) are
+        redistributed to earlier bins with space, keeping Σ == M (the
+        reference would emit fewer/garbage indices there).
     """
     b, n = scores.shape
-    chunk = n // num_bins
-    bin_id, sorted_vals = _sorted_chunk_bins(scores, num_bins)
+    bin_id, hi_c, lo_c, _, counts = _sorted_chunk_bins(scores, num_bins)
 
     per_bin = jnp.floor(2.0 * m / num_bins * bin_prob).astype(jnp.int32)
     head = per_bin[:, : num_bins - 1]
     last = m - jnp.sum(head, axis=1, keepdims=True)  # (B, 1) remainder
     budgets = jnp.concatenate([head, last], axis=1)  # (B, nb)
-    budgets = jnp.clip(budgets, 0, chunk)
+    budgets = jnp.clip(budgets, 0, counts[None])
+    budgets = _balance_budgets(budgets, counts, m)
 
     if sample_mode == "topk":
         pert = scores
     elif sample_mode == "uniform":
         pert = jax.random.gumbel(key, (b, n), dtype=jnp.float32)
     elif sample_mode == "random":
-        # per-chunk minmax normalization (sorted desc: max at col 0, min at
-        # col -1), then Boltzmann softmax ≡ Gumbel-top-k on the logits
-        hi = jnp.take_along_axis(sorted_vals[..., 0], bin_id, axis=1)
-        lo = jnp.take_along_axis(sorted_vals[..., -1], bin_id, axis=1)
+        # per-chunk minmax normalization, then Boltzmann softmax ≡
+        # Gumbel-top-k on the logits
+        hi = jnp.take_along_axis(hi_c, bin_id, axis=1)
+        lo = jnp.take_along_axis(lo_c, bin_id, axis=1)
         normed = (scores - lo) / (hi - lo + 1e-8)
         logit = normed / (boltzmann_t + 1e-8)
         pert = logit + jax.random.gumbel(key, (b, n), dtype=jnp.float32)
@@ -289,10 +327,8 @@ def bin2_idx_selection(
         bin_prob (B, num_bins))``
     """
     b, n = scores.shape
-    chunk = n // num_bins
-    bin_id, sorted_vals = _sorted_chunk_bins(scores, num_bins)
+    bin_id, _, _, mean_bin, caps = _sorted_chunk_bins(scores, num_bins)
 
-    mean_bin = jnp.mean(sorted_vals, axis=-1)  # (B, nb)
     lo = jnp.min(mean_bin, axis=1, keepdims=True)
     hi = jnp.max(mean_bin, axis=1, keepdims=True)
     normed = (mean_bin - lo) / (hi - lo + 1e-8)
@@ -308,11 +344,11 @@ def bin2_idx_selection(
     cols = []
     for j in range(num_bins):
         c = counts[:, j] + rest
-        rest = jnp.maximum(c - chunk, 0)
-        cols.append(jnp.minimum(c, chunk))
+        rest = jnp.maximum(c - caps[j], 0)
+        cols.append(jnp.minimum(c, caps[j]))
     # second pass: pour any leftover into the first bins with space
     for j in range(num_bins):
-        space = chunk - cols[j]
+        space = caps[j] - cols[j]
         add = jnp.minimum(rest, space)
         cols[j] = cols[j] + add
         rest = rest - add

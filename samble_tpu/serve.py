@@ -131,35 +131,22 @@ class Server:
         return np.asarray(self._forward(self.state, pts, cat_oh, rng))
 
     def throughput(self, batch: int = 128, iters: int = 10) -> float:
-        """Measured clouds/sec (chained dispatch + readback fence)."""
+        """Measured clouds/sec (chained dispatch + readback fence — the
+        shared utils.profiling.timeit_chained methodology)."""
+        from samble_tpu.utils.profiling import timeit_chained
+
         n_sel = int(self.cfg.train.dataloader.selected_points)
         rng = np.random.default_rng(0)
-        pts = jax.device_put(
-            rng.normal(size=(batch, n_sel, 3)).astype(np.float32),
+        pts = shard_batch(
+            self.mesh, rng.normal(size=(batch, n_sel, 3)).astype(np.float32)
         )
-        pts = shard_batch(self.mesh, pts)
         cat = (
             shard_batch(self.mesh, np.zeros((batch, 16), np.float32))
             if self.task == "seg" else None
         )
         state = self.state
 
-        @jax.jit
-        def step(p):
-            logits = (
-                self._forward(state, p, None, jax.random.key(1))
-                if self.task == "cls"
-                else self._forward(state, p, cat, jax.random.key(1))
-            )
-            s = jnp.mean(logits.astype(jnp.float32))
-            return p + 1e-6 * s, s.reshape(1)
+        def fwd(p):
+            return self._forward(state, p, cat, jax.random.key(1))
 
-        c = pts
-        for _ in range(2):
-            c, s = step(c)
-            np.asarray(s)
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            c, s = step(c)
-        np.asarray(s)
-        return batch * iters / (time.perf_counter() - t0)
+        return batch / timeit_chained(fwd, pts, iters=iters)

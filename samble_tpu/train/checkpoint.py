@@ -42,7 +42,19 @@ class CheckpointManager:
                 max_to_keep=max_to_keep, create=True
             ),
         )
+        # best metric persists in a sidecar so resume in a fresh process
+        # keeps the best-checkpoint policy (otherwise the first post-resume
+        # validation always "improves" on 0 and can evict the true best)
         self.best_metric: Optional[float] = None
+        self._best_path = os.path.join(self.directory, "best_metric.json")
+        if os.path.isfile(self._best_path):
+            try:
+                import json
+
+                with open(self._best_path) as f:
+                    self.best_metric = float(json.load(f)["best_metric"])
+            except Exception:
+                pass
 
     def save(self, step: int, state: TrainState, metric: Optional[float] = None):
         """Save at ``step``; tracks the best metric seen (higher = better)."""
@@ -53,6 +65,10 @@ class CheckpointManager:
             self.best_metric is None or metric >= self.best_metric
         ):
             self.best_metric = metric
+            import json
+
+            with open(self._best_path, "w") as f:
+                json.dump({"best_metric": float(metric), "step": step}, f)
         self._mgr.wait_until_finished()
 
     def restore(self, state_template: TrainState, step: Optional[int] = None) -> TrainState:

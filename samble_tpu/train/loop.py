@@ -112,6 +112,9 @@ def train_modelnet(
     reference lacks (it saves state_dict only, train_modelnet.py:491-509).
     """
     check_config(cfg)
+    # must run before ANY backend-initializing jax call (device_count,
+    # random.key, ...) — jax.distributed.initialize raises otherwise
+    maybe_init_distributed(cfg)
     os.makedirs(workdir, exist_ok=True)
     seed = _seed_from_config(cfg)
     rng = jax.random.key(seed)
@@ -141,7 +144,6 @@ def train_modelnet(
         drop_last=False, seed=seed + 1,
     )
 
-    maybe_init_distributed(cfg)  # multi-host pods (train.ddp.multi_host)
     mesh = make_mesh()
     # train.amp → bfloat16 compute (params/BN stats stay f32), the TPU
     # analog of the reference's torch.cuda.amp path (train_modelnet.py:324)
@@ -173,7 +175,9 @@ def train_modelnet(
     if resume and ckpt.latest_step() is not None:
         state = replicate_state(mesh, ckpt.restore(state))
         start_epoch = int(state.step) // max(len(train_loader), 1)
-        print(f"[resume] restored step {int(state.step)} → epoch {start_epoch}")
+        best_acc = ckpt.best_metric or 0.0
+        print(f"[resume] restored step {int(state.step)} → epoch {start_epoch} "
+              f"(best metric {best_acc:.4f})")
 
     debug_nan = bool(cfg.select("train.debug.enable", False)) and bool(
         cfg.select("train.debug.nan_check", True)
@@ -249,6 +253,7 @@ def train_shapenet(
     """ShapeNet part-seg training with per-ds-layer mIoU
     (reference train_shapenet.py incl. :550-637 index remapping)."""
     check_config(cfg)
+    maybe_init_distributed(cfg)  # before any backend-initializing jax call
     os.makedirs(workdir, exist_ok=True)
     seed = _seed_from_config(cfg)
     rng = jax.random.key(seed)
@@ -279,7 +284,6 @@ def train_shapenet(
         sg = np.take_along_axis(np.asarray(seg), np.asarray(idx), 1)
         return pts, sg
 
-    maybe_init_distributed(cfg)  # multi-host pods (train.ddp.multi_host)
     mesh = make_mesh()
     dtype = jnp.bfloat16 if bool(cfg.select("train.amp", False)) else jnp.float32
     model = SegModel(cfg=cfg, num_parts=50, train=True, dtype=dtype)
@@ -318,7 +322,9 @@ def train_shapenet(
     if resume and ckpt.latest_step() is not None:
         state = replicate_state(mesh, ckpt.restore(state))
         start_epoch = int(state.step) // max(len(train_loader), 1)
-        print(f"[resume] restored step {int(state.step)} → epoch {start_epoch}")
+        best_miou = ckpt.best_metric or 0.0
+        print(f"[resume] restored step {int(state.step)} → epoch {start_epoch} "
+              f"(best metric {best_miou:.4f})")
 
     debug_nan = bool(cfg.select("train.debug.enable", False)) and bool(
         cfg.select("train.debug.nan_check", True)

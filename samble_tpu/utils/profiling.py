@@ -44,3 +44,36 @@ def trace(logdir: str):
         yield
     finally:
         jax.profiler.stop_trace()
+
+
+def timeit_chained(fn_out, x0, iters: int = 10, warmup: int = 2) -> float:
+    """Trustworthy TPU timing on this stack: chain iterations (each call's
+    input is perturbed by a summary of the previous output, so no call can
+    be elided or served from a cache) and fence with ONE host readback of a
+    tiny pre-materialized buffer.  Plain dispatch+block_until_ready loops
+    mis-measure on the tunnelled backend (see bench.py docstring).
+
+    :param fn_out: ``x -> output array`` (pure, jit-compatible)
+    :param x0: initial input array (on device)
+    :returns: seconds per call
+    """
+    import time
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    @jax.jit
+    def step(x):
+        out = fn_out(x)
+        s = jnp.mean(out.astype(jnp.float32))
+        return x + 1e-6 * s, s.reshape(1)
+
+    c = x0
+    for _ in range(warmup):
+        c, s = step(c)
+        np.asarray(s)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        c, s = step(c)
+    np.asarray(s)
+    return (time.perf_counter() - t0) / iters

@@ -99,3 +99,18 @@ def test_checkpoint_roundtrip_and_exact_resume(tmp_path):
     )
     _leaves_equal(state_c.params, state_r.params)
     _leaves_equal(state_c.opt_state, state_r.opt_state)
+
+
+def test_best_metric_persists_across_processes(tmp_path):
+    """Resume must not reset the best-checkpoint policy: a fresh
+    CheckpointManager reloads the best metric from its sidecar, so a worse
+    post-resume validation cannot evict the true best checkpoint."""
+    cfg = tiny_cls_config()
+    _, state, _ = _make_state_and_step(cfg, seed=0)
+    d = os.path.join(str(tmp_path), "ckpts")
+    mgr = CheckpointManager(d)
+    mgr.save(0, state, metric=0.92)
+    mgr.close()
+    mgr2 = CheckpointManager(d)
+    assert mgr2.best_metric == pytest.approx(0.92)
+    mgr2.close()

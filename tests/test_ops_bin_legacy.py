@@ -25,9 +25,9 @@ def _scores():
     return jnp.asarray(np.random.default_rng(0).normal(size=(B, N)), jnp.float32)
 
 
-def _bin_of(scores, idx):
+def _bin_of(scores, idx, nb=NB):
     """Chunk id of each selected point, from the descending sort."""
-    bin_id, _ = _sorted_chunk_bins(scores, NB)
+    bin_id = _sorted_chunk_bins(scores, nb)[0]
     return np.take_along_axis(np.asarray(bin_id), np.asarray(idx), axis=1)
 
 
@@ -70,7 +70,7 @@ def test_bin_idx_selection_topk_picks_best_in_bin():
         jax.random.key(1), scores, NB, bin_prob, M, "topk", 0.1
     )
     s = np.asarray(scores)
-    bin_id, _ = _sorted_chunk_bins(scores, NB)
+    bin_id = _sorted_chunk_bins(scores, NB)[0]
     bin_id = np.asarray(bin_id)
     for b in range(B):
         for j in range(NB):
@@ -106,3 +106,48 @@ def test_bin2_redistribution_caps_at_chunk_size():
     np.testing.assert_array_equal(k.sum(1), m)
     for b in range(B):
         assert len(set(np.asarray(idx)[b].tolist())) == m
+
+
+def test_bin_samplers_non_divisible_n():
+    """Shipped defaults use num_bins=6 at power-of-two N — the samplers must
+    handle the ragged last chunk (torch.chunk semantics)."""
+    rng = np.random.default_rng(5)
+    n, nb, m = 50, 6, 20  # ceil(50/6)=9 -> chunks 9,9,9,9,9,5
+    scores = jnp.asarray(rng.normal(size=(2, n)), jnp.float32)
+    bin_prob = jnp.broadcast_to(jnp.asarray(BIN_PROB, jnp.float32), (2, nb))
+    idx, k = bin_idx_selection(jax.random.key(1), scores, nb, bin_prob, m,
+                               "topk", 0.1)
+    idx, k = np.asarray(idx), np.asarray(k)
+    np.testing.assert_array_equal(k.sum(1), m)
+    caps = np.asarray(_sorted_chunk_bins(scores, nb)[4])
+    assert (k <= caps[None]).all()
+    for b in range(2):
+        assert len(set(idx[b].tolist())) == m
+        np.testing.assert_array_equal(
+            np.bincount(_bin_of(scores, idx, nb)[b], minlength=nb), k[b]
+        )
+    idx2, k2, _ = bin2_idx_selection(jax.random.key(2), scores, nb, m, 0.5)
+    idx2, k2 = np.asarray(idx2), np.asarray(k2)
+    np.testing.assert_array_equal(k2.sum(1), m)
+    assert (k2 <= caps[None]).all()
+    for b in range(2):
+        assert len(set(idx2[b].tolist())) == m
+
+
+def test_bin_idx_budgets_match_selection_when_saturated():
+    """M > N/2 with saturated probs: clipped budgets are redistributed so
+    k_counts always equals the realized per-bin composition."""
+    rng = np.random.default_rng(6)
+    n, nb, m = 48, 6, 30
+    scores = jnp.asarray(rng.normal(size=(2, n)), jnp.float32)
+    bin_prob = jnp.ones((2, nb), jnp.float32)  # saturated
+    idx, k = bin_idx_selection(jax.random.key(3), scores, nb, bin_prob, m,
+                               "topk", 0.1)
+    idx, k = np.asarray(idx), np.asarray(k)
+    np.testing.assert_array_equal(k.sum(1), m)
+    assert (k <= n // nb).all()
+    for b in range(2):
+        assert len(set(idx[b].tolist())) == m
+        np.testing.assert_array_equal(
+            np.bincount(_bin_of(scores, idx)[b], minlength=nb), k[b]
+        )
