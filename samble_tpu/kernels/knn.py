@@ -65,11 +65,14 @@ def _knn_kernel(a_ref, b_ref, dist_ref, idx_ref, *, k: int, m_valid: int,
         # padded reference rows must never win the min
         key = jnp.where(col < m_valid, key, intmax)
 
-    # NOTE: a two-level variant (per-128-lane-block parallel min extraction
-    # into a candidate pool, then a short exact merge) was tried and
-    # measured 5x SLOWER (86 ms vs 17.7 ms at B=128, N=1024) — the
-    # (TILE, blocks, 128) view forces Mosaic relayouts every round.  The
-    # flat single-level loop below is the fast shape.
+    # NOTE: two-level variants (per-128-lane-block parallel min extraction
+    # into a candidate pool, then a short exact merge) were tried TWICE and
+    # both measured ~5x SLOWER (86-97 ms vs 17.7 ms at B=128, N=1024):
+    # a (TILE, blocks, 128) reshape forces Mosaic relayouts every round,
+    # and static lane-slices fare no better (narrow (TILE, 1) reductions
+    # generate poor code).  The flat single-level loop below is the fast
+    # shape on this Mosaic version — ~75%% of its theoretical VPU-pass
+    # bound.
     pool = key
     col_k = jax.lax.broadcasted_iota(jnp.int32, (tile, k), 1)
     keys0 = jnp.zeros((tile, k), jnp.int32)

@@ -115,3 +115,20 @@ def test_fused_edgeconv_matches_gather(group_type):
     np.testing.assert_allclose(
         np.asarray(out_f), np.asarray(out_g), rtol=2e-4, atol=2e-5
     )
+
+
+def test_knn_fast_fallback_boundaries():
+    """knn_fast silently falls back to XLA outside the kernel's envelope
+    (n < 256 or k > 128); both sides of each boundary must agree on the
+    neighbor sets."""
+    from samble_tpu.ops import neighbors as nbr
+
+    rng = np.random.default_rng(7)
+    for n, k in ((255, 8), (256, 8), (64, 8)):
+        x = jnp.asarray(rng.normal(size=(2, n, 8)), jnp.float32)
+        d_fast, i_fast = nbr.knn_fast(x, x, k)
+        d_ref, i_ref = nbr.knn(x, x, k)
+        assert i_fast.shape == (2, n, k)
+        match = (np.sort(np.asarray(i_fast), -1)
+                 == np.sort(np.asarray(i_ref), -1)).mean()
+        assert match > 0.999, f"n={n} k={k}: match {match}"
