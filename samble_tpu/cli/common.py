@@ -18,7 +18,7 @@ from __future__ import annotations
 import os
 import sys
 import time
-from typing import List, Optional, Tuple
+from typing import List, Optional
 
 from samble_tpu.config import Config, load_config
 

@@ -10,7 +10,6 @@ resurrected (reference test_modelnet.py:51-59) with CLI overrides applied.
 from __future__ import annotations
 
 import json
-import sys
 
 from samble_tpu.cli.common import build_test_config
 

@@ -10,7 +10,6 @@ resurrected (reference test_shapenet.py:53-61) with CLI overrides applied.
 from __future__ import annotations
 
 import json
-import sys
 
 from samble_tpu.cli.common import build_test_config
 

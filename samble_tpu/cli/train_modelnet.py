@@ -5,8 +5,6 @@
 
 from __future__ import annotations
 
-import sys
-
 from samble_tpu.cli.common import build_config
 from samble_tpu.train.loop import train_modelnet
 

@@ -13,11 +13,9 @@ from __future__ import annotations
 
 import glob
 import os
-import subprocess
 import urllib.request
 import zipfile
 from dataclasses import dataclass
-from typing import Optional
 
 import numpy as np
 

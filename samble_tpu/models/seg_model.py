@@ -12,7 +12,7 @@ Reference: models/seg_model.py — ``FeatureLearningBlock`` (:7-133) and
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import flax.linen as nn
 import jax

@@ -10,8 +10,7 @@ SyncBatchNorm (reference: ``convert_sync_batchnorm``, train_modelnet.py:245).
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Callable
+from typing import Any
 
 import flax.linen as nn
 import jax

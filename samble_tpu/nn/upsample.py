@@ -8,7 +8,7 @@ Reference: models/upsample.py — ``UpSample`` (crossA, :8-65),
 from __future__ import annotations
 
 import math
-from typing import Any, Optional, Tuple
+from typing import Any
 
 import flax.linen as nn
 import jax

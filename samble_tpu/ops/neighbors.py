@@ -16,8 +16,6 @@ distance matrix in HBM; this module is the XLA fallback and autodiff path.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 

@@ -18,8 +18,6 @@ chained-dispatch methodology (see bench.py).
 
 from __future__ import annotations
 
-import os
-import time
 from typing import Any, Optional
 
 import jax

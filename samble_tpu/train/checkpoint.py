@@ -12,9 +12,8 @@ a ``best`` alias alongside step-numbered saves.
 from __future__ import annotations
 
 import os
-from typing import Any, Optional
+from typing import Optional
 
-import jax
 import orbax.checkpoint as ocp
 
 from samble_tpu.train.state import TrainState

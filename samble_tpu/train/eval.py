@@ -12,13 +12,13 @@ can be derived on host from ``bin_points_mask`` when needed.
 from __future__ import annotations
 
 import os
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from samble_tpu.data import BatchLoader, make_batch_augment
+from samble_tpu.data import BatchLoader
 from samble_tpu.data.augmentation import make_vote_augment
 from samble_tpu.models import ClsModel, SegModel
 from samble_tpu.parallel import make_mesh, shard_batch

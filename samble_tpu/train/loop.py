@@ -9,10 +9,9 @@ index remapping, CSV/JSONL metric logging, and optional wandb are all here.
 
 from __future__ import annotations
 
-import json
 import os
 import time
-from typing import Any, Callable, Dict, Optional
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

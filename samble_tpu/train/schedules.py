@@ -9,7 +9,6 @@ whole optimizer lives inside the jitted train step.
 
 from __future__ import annotations
 
-import math
 from typing import Any, Callable
 
 import jax.numpy as jnp

@@ -9,7 +9,7 @@ resume is one dataclass checkpointed atomically with Orbax.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional
+from typing import Any, Optional
 
 import flax
 import jax

@@ -15,7 +15,6 @@ out of XLA global-view semantics here:
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable, Optional
 
 import jax

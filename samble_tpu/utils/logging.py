@@ -14,7 +14,7 @@ import json
 import os
 import subprocess
 import time
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 
 def _git_rev() -> str:
