@@ -133,8 +133,7 @@ class SegModel(nn.Module):
 
         trans = None
         if blk.get("STN", False):
-            grouped, _ = ops.group(x, 32, "center_diff")  # (B, N, 32, 6)
-            trans = STN(train=self.train)(grouped)  # (B, 3, 3)
+            trans = STN(train=self.train)(x)  # groups internally; (B, 3, 3)
             x = jnp.einsum("bnc,bcd->bnd", x, trans)
 
         x_tmp, aux_list = SegFeatureBlock(

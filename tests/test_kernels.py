@@ -132,3 +132,24 @@ def test_knn_fast_fallback_boundaries():
         match = (np.sort(np.asarray(i_fast), -1)
                  == np.sort(np.asarray(i_ref), -1)).mean()
         assert match > 0.999, f"n={n} k={k}: match {match}"
+
+
+def test_fused_stn_matches_gather():
+    """STN's grouped front through the fused EdgeConv kernel (submodule
+    affine probing) vs the grouped XLA path, shared params."""
+    from samble_tpu.nn.embedding import STN
+
+    rng = np.random.default_rng(4)
+    xyz = rng.normal(size=(2, 64, 3)).astype(np.float32)
+    train_mod = STN(k=8, train=True)
+    variables = train_mod.init({"params": jax.random.key(0),
+                                "dropout": jax.random.key(1)}, xyz)
+    # move BN running stats off init so the affine fold is exercised
+    _, upd = train_mod.apply(variables, xyz, mutable=["batch_stats"],
+                             rngs={"dropout": jax.random.key(2)})
+    variables = {"params": variables["params"], **upd}
+    out_g = STN(k=8, impl="gather", train=False).apply(variables, xyz)
+    out_f = STN(k=8, impl="fused", train=False).apply(variables, xyz)
+    np.testing.assert_allclose(
+        np.asarray(out_f), np.asarray(out_g), rtol=2e-4, atol=2e-5
+    )
