@@ -98,9 +98,7 @@ def build_test_config(argv, dataset: str, default_usr: str):
     the run's saved config when no explicit usr_config is given, normalize
     the checkpoint dir.  Returns ``(cfg, ckpt_dir, workdir, synthetic,
     introspect)``."""
-    import sys as _sys
-
-    argv = list(_sys.argv[1:] if argv is None else argv)
+    argv = list(sys.argv[1:] if argv is None else argv)
     ckpt = None
     introspect = False
     rest = []

@@ -65,9 +65,11 @@ class Neighbor2PointAttention(nn.Module):
             if kernels.use_pallas():
                 return "pallas"
             try:
-                if jax.default_backend() == "tpu":
-                    # SAMBLE_DISABLE_PALLAS=1 etc: the dense-masked MXU
-                    # rewrite still beats gathers on TPU (52 vs 180 ms)
+                # SAMBLE_DISABLE_PALLAS=1 etc: the dense-masked MXU rewrite
+                # still beats gathers on TPU (52 vs 180 ms at N=1024), but
+                # it materializes (B, H, N, N) f32 — cap N so the fallback
+                # cannot OOM where the gather path would run (4096-pt cfg)
+                if jax.default_backend() == "tpu" and n <= 2048:
                     return "dense"
             except Exception:
                 pass

@@ -15,6 +15,24 @@ from samble_tpu import ops
 from samble_tpu.nn.common import Conv1x1, ConvBNLeaky, PointBatchNorm, leaky_relu
 
 
+def probe_cbl_affine(cbl, c_in: int, dtype=jnp.float32):
+    """Recover the pre-activation affine of a ConvBNLeaky in eval mode.
+
+    conv + frozen BN is affine and the trailing LeakyReLU(0.2) is
+    invertible, so probing with [zeros; eye] and applying leaky⁻¹ yields
+    ``(W (c_in, c_out), b (c_out,))`` with ``cbl(g) = leaky(gᵀW + b)``.
+    Calling the module on the probes registers the exact same parameters as
+    a real call — fused and gather paths share one tree.
+    """
+    probes = jnp.concatenate(
+        [jnp.zeros((1, 1, c_in), dtype), jnp.eye(c_in, dtype=dtype)[None]], 1
+    )
+    pr = cbl(probes)  # (1, c_in + 1, c_out)
+    pr = jnp.where(pr >= 0, pr, pr / 0.2)  # leaky⁻¹ (slope matches cbl)
+    b = pr[0, 0]
+    return pr[0, 1:] - b[None], b
+
+
 class EdgeConv(nn.Module):
     """DGCNN-style edge convolution.
 
@@ -101,13 +119,7 @@ class EdgeConv(nn.Module):
             a1 = bn1(one) - b1
             u_p = a1[0] * u + b1[0]
             w_p = a1[0] * w
-            # ConvBNLeaky ends in leaky(0.2), which is invertible — probe
-            # through it: affine(g) = leaky⁻¹(cbl(g))
-            probes = jnp.concatenate([zero, jnp.eye(c1, dtype=self.dtype)[None]], 1)
-            pr = cbl(probes)  # (1, C1 + 1, C2)
-            pr = jnp.where(pr >= 0, pr, pr / 0.2)
-            b2 = pr[0, 0]
-            w2 = pr[0, 1:] - b2[None]
+            w2, b2 = probe_cbl_affine(cbl, c1, self.dtype)
             return kernels.edgeconv_pallas(
                 u_p, w_p, idx, w2, b2, alpha=0.2,
                 interpret=not kernels.use_pallas(),
@@ -160,17 +172,8 @@ class STN(nn.Module):
         if use_fused:
             idx = ops.neighbors.knn_indices(xyz, self.k)
 
-            def probe_affine(cbl, c_in):
-                probes = jnp.concatenate(
-                    [jnp.zeros((1, 1, c_in), jnp.float32),
-                     jnp.eye(c_in, dtype=jnp.float32)[None]], 1,
-                )
-                pr = cbl(probes)
-                pr = jnp.where(pr >= 0, pr, pr / 0.2)  # leaky⁻¹
-                return pr[0, 1:] - pr[0, 0], pr[0, 0]  # (W', b')
-
-            w1, b1 = probe_affine(cbl1, 6)  # (6, 64), (64,)
-            w2, b2 = probe_affine(cbl2, 64)
+            w1, b1 = probe_cbl_affine(cbl1, 6)  # (6, 64), (64,)
+            w2, b2 = probe_cbl_affine(cbl2, 64)
             # center‖diff concat hoist: gᵀW1' = x_i·(W1'c − W1'd) + x_j·W1'd
             u = xyz @ (w1[:3] - w1[3:]) + b1
             w = xyz @ w1[3:]

@@ -329,10 +329,15 @@ def bin2_idx_selection(
     b, n = scores.shape
     bin_id, _, _, mean_bin, caps = _sorted_chunk_bins(scores, num_bins)
 
-    lo = jnp.min(mean_bin, axis=1, keepdims=True)
-    hi = jnp.max(mean_bin, axis=1, keepdims=True)
+    # empty trailing chunks (possible with ceil-chunking when N < nb·cs −
+    # cs + 1) must not join the min/max normalization or receive draws —
+    # their padded mean of 0 would otherwise skew the distribution
+    nonempty = (caps > 0)[None]  # (1, nb)
+    big = jnp.finfo(jnp.float32).max
+    lo = jnp.min(jnp.where(nonempty, mean_bin, big), axis=1, keepdims=True)
+    hi = jnp.max(jnp.where(nonempty, mean_bin, -big), axis=1, keepdims=True)
     normed = (mean_bin - lo) / (hi - lo + 1e-8)
-    logits = normed / (boltzmann_t + 1e-8)
+    logits = jnp.where(nonempty, normed / (boltzmann_t + 1e-8), -jnp.inf)
 
     key_cat, key_sel = jax.random.split(key)
     draws = jax.random.categorical(key_cat, logits[:, None, :], axis=-1,

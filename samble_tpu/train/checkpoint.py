@@ -55,6 +55,14 @@ class CheckpointManager:
             except Exception:
                 pass
 
+    def reset_best(self) -> None:
+        """Forget any persisted best metric (call when starting a FRESH run
+        in a reused directory — a stale sidecar from a previous run would
+        otherwise suppress every save after a later resume)."""
+        self.best_metric = None
+        if os.path.isfile(self._best_path):
+            os.remove(self._best_path)
+
     def save(self, step: int, state: TrainState, metric: Optional[float] = None):
         """Save at ``step``; tracks the best metric seen (higher = better)."""
         self._mgr.save(
@@ -66,8 +74,15 @@ class CheckpointManager:
             self.best_metric = metric
             import json
 
-            with open(self._best_path, "w") as f:
-                json.dump({"best_metric": float(metric), "step": step}, f)
+            import jax
+
+            # process 0 only + atomic rename: concurrent multi-host writers
+            # must not interleave into a corrupt sidecar
+            if jax.process_index() == 0:
+                tmp = self._best_path + ".tmp"
+                with open(tmp, "w") as f:
+                    json.dump({"best_metric": float(metric), "step": step}, f)
+                os.replace(tmp, self._best_path)
         self._mgr.wait_until_finished()
 
     def restore(self, state_template: TrainState, step: Optional[int] = None) -> TrainState:

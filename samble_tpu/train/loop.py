@@ -167,6 +167,9 @@ def train_modelnet(
 
     logger = MetricLogger(workdir, cfg)
     ckpt = CheckpointManager(os.path.join(workdir, "checkpoints"))
+    if not resume:
+        ckpt.reset_best()  # a stale sidecar from a reused dir would
+        # otherwise suppress saves after a later resume
     best_acc = 0.0
     epochs = int(cfg.train.epochs)
     val_freq = int(cfg.train.validation_freq)
@@ -313,6 +316,8 @@ def train_shapenet(
 
     logger = MetricLogger(workdir, cfg)
     ckpt = CheckpointManager(os.path.join(workdir, "checkpoints"))
+    if not resume:
+        ckpt.reset_best()
     best_miou = 0.0
     epochs = int(cfg.train.epochs)
     val_freq = int(cfg.train.validation_freq)
