@@ -97,18 +97,22 @@ def build_test_config(argv, dataset: str, default_usr: str):
     """Shared test-CLI plumbing: parse ``ckpt=``/``introspect=``, resurrect
     the run's saved config when no explicit usr_config is given, normalize
     the checkpoint dir.  Returns ``(cfg, ckpt_dir, workdir, synthetic,
-    introspect)``."""
+    introspect, visualize)``."""
     argv = list(sys.argv[1:] if argv is None else argv)
     ckpt = None
     introspect = False
+    visualize = False
     rest = []
     for a in argv:
         if a.startswith("ckpt="):
             ckpt = a.split("=", 1)[1]
         elif a.startswith("introspect="):
             introspect = a.split("=", 1)[1].lower() in ("1", "true", "yes")
+        elif a.startswith("visualize="):
+            visualize = a.split("=", 1)[1].lower() in ("1", "true", "yes")
         else:
             rest.append(a)
+    introspect = introspect or visualize
     if ckpt is None:
         raise SystemExit(
             f"usage: test_{dataset} ckpt=<run or checkpoints dir> [overrides]"
@@ -124,4 +128,4 @@ def build_test_config(argv, dataset: str, default_usr: str):
         _, workdir, synthetic, _ = build_config(specials, dataset, default_usr)
     else:
         cfg, workdir, synthetic, _ = build_config(rest, dataset, default_usr)
-    return cfg, ckpt, workdir, synthetic, introspect
+    return cfg, ckpt, workdir, synthetic, introspect, visualize

@@ -15,7 +15,7 @@ from samble_tpu.cli.common import build_test_config
 
 
 def main(argv=None):
-    cfg, ckpt, workdir, synthetic, introspect = build_test_config(
+    cfg, ckpt, workdir, synthetic, introspect, visualize = build_test_config(
         argv, "shapenet", "seg.yaml"
     )
     cfg.mode = "test"
@@ -28,6 +28,14 @@ def main(argv=None):
     if cfg.select("test.print_results", True):
         for name, iou in sorted(result["per_category"].items()):
             print(f"  {name:>12s}: {iou:.4f}")
+    if visualize and "introspection_path" in result:
+        from samble_tpu.utils.visualization import visualize_introspection
+
+        written = visualize_introspection(
+            result["introspection_path"],
+            outdir=result["introspection_path"].rsplit("/", 1)[0] + "/viz",
+        )
+        print(f"wrote {len(written)} visualization PNGs")
     return result
 
 

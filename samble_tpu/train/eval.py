@@ -105,6 +105,7 @@ def evaluate_modelnet(
         preds_all.append(np.asarray(out["preds"])[valid])
         labels_all.append(label[valid])
         if introspect and not use_vote:
+            dumps.setdefault("points", []).append(np.asarray(points)[valid])
             for k, v in out.items():
                 if "/" in k:
                     dumps.setdefault(k, []).append(np.asarray(v)[valid])
@@ -185,6 +186,7 @@ def evaluate_shapenet(
                 for l, (p_l, s_l) in enumerate(remapped):
                     ds_preds[l].append(p_l[valid])
                     ds_labels[l].append(s_l[valid])
+            dumps.setdefault("points", []).append(np.asarray(points)[valid])
             for k, v in out.items():
                 if "/" in k:
                     dumps.setdefault(k, []).append(np.asarray(v)[valid])
