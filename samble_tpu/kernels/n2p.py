@@ -134,6 +134,130 @@ def _n2p_pallas_fwd(q, k, v, idx, heads, scale, negate, subtract_v,
     return out[:, :n]
 
 
+def _n2p_bwd_kernel(
+    q_ref, k_ref, v_ref, g_ref, idx_ref, dq_ref, dk_ref, dv_ref,
+    *, heads: int, scale: float, knn_k: int, negate: bool, subtract_v: bool,
+    tile: int,
+):
+    """Backward of the masked local attention, one (batch, row-tile) cell.
+
+    Row tiles of one batch run sequentially, accumulating dk/dv (full-N
+    outputs) across the grid like kernels/score.py's column sums:
+
+      A  = softmax(±scale · q kᵀ, neighbor-masked)      (recomputed)
+      dv += Aᵀ g   [− g at own rows if subtract_v]
+      dA = g vᵀ;   dE = A ⊙ (dA − rowsum(dA ⊙ A))
+      dq = ±scale · dE k;   dk += ±scale · dEᵀ q_tile
+    """
+    j = pl.program_id(1)
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    g = g_ref[0]
+    idx = idx_ref[0]
+    npad = k.shape[0]
+    dq = q.shape[1] // heads
+    dv = v.shape[1] // heads
+    sgn = -scale if negate else scale
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (tile, npad), 1)
+    mask = jnp.zeros((tile, npad), jnp.bool_)
+    for kk in range(knn_k):
+        mask = mask | (col == idx[:, kk][:, None])
+
+    @pl.when(j == 0)
+    def _():
+        dk_ref[0] = jnp.zeros_like(dk_ref[0])
+        dv_ref[0] = jnp.zeros_like(dv_ref[0])
+
+    for h in range(heads):
+        qh = q[:, h * dq:(h + 1) * dq].astype(jnp.float32)
+        kh = k[:, h * dq:(h + 1) * dq].astype(jnp.float32)
+        vh = v[:, h * dv:(h + 1) * dv].astype(jnp.float32)
+        gh = g[:, h * dv:(h + 1) * dv].astype(jnp.float32)
+        e = jax.lax.dot_general(
+            qh, kh, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * sgn
+        e = jnp.where(mask, e, -jnp.inf)
+        m = jnp.max(e, axis=1, keepdims=True)
+        ex = jnp.exp(e - m)
+        attn = ex / jnp.sum(ex, axis=1, keepdims=True)  # (TILE, NPAD)
+
+        da = jax.lax.dot_general(
+            gh, vh, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (TILE, NPAD)
+        r = jnp.sum(da * attn, axis=1, keepdims=True)
+        de = attn * (da - r)  # (TILE, NPAD)
+
+        dq_ref[0, :, h * dq:(h + 1) * dq] = (
+            jax.lax.dot_general(
+                de, kh, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * sgn
+        ).astype(dq_ref.dtype)
+        dk_ref[0, :, h * dq:(h + 1) * dq] += (
+            jax.lax.dot_general(
+                de, qh, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * sgn
+        ).astype(dk_ref.dtype)
+        dv_acc = jax.lax.dot_general(
+            attn, gh, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (NPAD, DV)
+        dv_ref[0, :, h * dv:(h + 1) * dv] += dv_acc.astype(dv_ref.dtype)
+        if subtract_v:
+            dv_ref[0, pl.ds(j * tile, tile), h * dv:(h + 1) * dv] += (
+                -gh
+            ).astype(dv_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("heads", "scale", "negate", "subtract_v",
+                              "interpret")
+)
+def _n2p_pallas_bwd(q, k, v, idx, g, heads, scale, negate, subtract_v,
+                    interpret=False):
+    bsz, n, hdq = q.shape
+    hdv = v.shape[-1]
+    knn_k = idx.shape[-1]
+    tile = 128 if n % 128 == 0 else (64 if n % 64 == 0 else n)
+    n_pad = _round_up(n, tile)
+    if n_pad != n:
+        pad = ((0, 0), (0, n_pad - n), (0, 0))
+        q, k, v, g = (jnp.pad(a, pad) for a in (q, k, v, g))
+        idx = jnp.pad(idx, ((0, 0), (0, n_pad - n), (0, 0)))
+
+    grid = (bsz, n_pad // tile)
+    kernel = functools.partial(
+        _n2p_bwd_kernel, heads=heads, scale=scale, knn_k=knn_k,
+        negate=negate, subtract_v=subtract_v, tile=tile,
+    )
+    row_spec = lambda c: pl.BlockSpec((1, tile, c), lambda i, j: (i, j, 0),
+                                      memory_space=pltpu.VMEM)
+    full_spec = lambda c: pl.BlockSpec((1, n_pad, c), lambda i, j: (i, 0, 0),
+                                       memory_space=pltpu.VMEM)
+    dq, dk, dv = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            row_spec(hdq), full_spec(hdq), full_spec(hdv), row_spec(hdv),
+            pl.BlockSpec((1, tile, knn_k), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[row_spec(hdq), full_spec(hdq), full_spec(hdv)],
+        out_shape=[
+            jax.ShapeDtypeStruct((bsz, n_pad, hdq), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, n_pad, hdq), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, n_pad, hdv), jnp.float32),
+        ],
+        interpret=interpret,
+    )(q, k, v, g, idx)
+    return dq[:, :n], dk[:, :n], dv[:, :n]
+
+
 def n2p_dense_reference(q, k, v, idx, heads, scale, negate, subtract_v):
     """Dense-masked XLA formulation — same math, used for the backward pass
     and as the CPU/differential-test reference."""
@@ -177,6 +301,17 @@ def _n2p_fwd(q, k, v, idx, heads, scale, negate, subtract_v):
 
 def _n2p_bwd(heads, scale, negate, subtract_v, residuals, g):
     q, k, v, idx = residuals
+    try:
+        from samble_tpu import kernels
+
+        use_kernel = kernels.use_pallas()
+    except Exception:
+        use_kernel = False
+    if use_kernel:
+        dq, dk, dv = _n2p_pallas_bwd(
+            q, k, v, idx, g, heads, scale, negate, subtract_v
+        )
+        return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype), None
     _, vjp = jax.vjp(
         lambda q, k, v: n2p_dense_reference(
             q, k, v, idx, heads, scale, negate, subtract_v

@@ -88,3 +88,34 @@ def test_n2p_backward_matches_gather_grads():
             np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-4,
             err_msg=jax.tree_util.keystr(pa),
         )
+
+
+@pytest.mark.parametrize("negate", [False, True])
+@pytest.mark.parametrize("subtract_v", [False, True])
+def test_pallas_n2p_backward_kernel_matches_autodiff(negate, subtract_v):
+    """Flash-style backward kernel (interpret mode) vs jax.grad of the dense
+    reference — dq, dk, dv for all four algebra combos."""
+    from samble_tpu.kernels.n2p import _n2p_pallas_bwd, n2p_dense_reference
+    from samble_tpu.ops import neighbors as nbr
+
+    rng = np.random.default_rng(3)
+    heads, n, hd = 4, 128, 32
+    q = jnp.asarray(rng.normal(size=(2, n, hd)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(2, n, hd)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(2, n, hd)), jnp.float32)
+    g = jnp.asarray(rng.normal(size=(2, n, hd)), jnp.float32)
+    idx = nbr.knn_indices(jnp.asarray(rng.normal(size=(2, n, 3)), jnp.float32), 8)
+    scale = float(1.0 / np.sqrt(hd // heads))
+
+    _, vjp = jax.vjp(
+        lambda q, k, v: n2p_dense_reference(q, k, v, idx, heads, scale,
+                                            negate, subtract_v),
+        q, k, v,
+    )
+    want = vjp(g)
+    got = _n2p_pallas_bwd(q, k, v, idx, g, heads, scale, negate, subtract_v,
+                          interpret=True)
+    for name, a, b in zip(("dq", "dk", "dv"), got, want):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4, err_msg=name
+        )
