@@ -34,15 +34,24 @@ def use_pallas() -> bool:
         return False
 
 
-from samble_tpu.kernels.edgeconv import edgeconv_pallas  # noqa: E402
+from samble_tpu.kernels.edgeconv import (  # noqa: E402
+    edgeconv_knn_pallas,
+    edgeconv_pallas,
+)
 from samble_tpu.kernels.knn import knn_pallas  # noqa: E402
-from samble_tpu.kernels.n2p import n2p_attention  # noqa: E402
-from samble_tpu.kernels.score import sparse_attention_score_pallas  # noqa: E402
+from samble_tpu.kernels.n2p import n2p_attention, n2p_attention_fused  # noqa: E402
+from samble_tpu.kernels.score import (  # noqa: E402
+    sparse_attention_score_fused,
+    sparse_attention_score_pallas,
+)
 
 __all__ = [
     "use_pallas",
+    "edgeconv_knn_pallas",
     "edgeconv_pallas",
     "knn_pallas",
     "n2p_attention",
+    "n2p_attention_fused",
+    "sparse_attention_score_fused",
     "sparse_attention_score_pallas",
 ]

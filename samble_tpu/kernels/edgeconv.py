@@ -28,6 +28,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from samble_tpu.kernels import keys as keys_mod
+
 
 def _leaky(x, alpha):
     return jnp.where(x >= 0, x, alpha * x)
@@ -118,4 +120,105 @@ def edgeconv_pallas(u, w, idx, w2, b2, alpha: float = 0.2,
         out_shape=jax.ShapeDtypeStruct((bsz, n_pad, c2), u.dtype),
         interpret=interpret,
     )(u, w, idx, w2, b2)
+    return out[:, :n]
+
+
+def _edgeconv_knn_kernel(xa_ref, xb_ref, u_ref, w_ref, w2_ref, b2_ref,
+                         out_ref, *, knn_k: int, alpha: float,
+                         idx_bits: int, m_valid: int):
+    """kNN-fused EdgeConv cell: selection and convolution share one loop.
+
+    The split pipeline runs the kNN kernel (min-extract per round: ~3 VPU
+    passes) and then the EdgeConv kernel re-derives each neighbor's one-hot
+    from the stored index (another full-width compare per round).  But the
+    extraction's ``pool == kmin`` compare IS the one-hot — so doing both in
+    one loop costs 3 passes/round instead of ~5, and the (B, N, K) index
+    tensor never exists.
+
+    xa_ref: (1, TILE, CX)  normalized kNN features, tile rows
+    xb_ref: (1, NPAD, CX)  normalized kNN features, all rows
+    u/w/w2/b2/out as in _edgeconv_kernel.
+    """
+    u = u_ref[0]
+    w = w_ref[0]
+    w2 = w2_ref[:]
+    b2 = b2_ref[:]
+    tile = u.shape[0]
+
+    pool = keys_mod.packed_key_tile(xa_ref[0], xb_ref[0], idx_bits, m_valid)
+    acc = jnp.full((tile, w2.shape[1]), -jnp.inf, jnp.float32)
+    u_f = u.astype(jnp.float32)
+    for _ in range(knn_k):
+        kmin = jnp.min(pool, axis=1, keepdims=True)
+        onehot = pool == kmin  # keys unique → exactly one column per row
+        pool = jnp.where(onehot, keys_mod.INTMAX, pool)
+        w_sel = jax.lax.dot_general(
+            onehot.astype(w.dtype), w,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (TILE, C1)
+        z = _leaky(u_f + w_sel, alpha)
+        h = jax.lax.dot_general(
+            z.astype(w2.dtype), w2,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + b2.astype(jnp.float32)
+        acc = jnp.maximum(acc, _leaky(h, alpha))
+    out_ref[0] = acc.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("knn_k", "alpha", "interpret"))
+def edgeconv_knn_pallas(u, w, xn, knn_k: int, w2, b2, alpha: float = 0.2,
+                        interpret: bool = False):
+    """Fused eval-mode EdgeConv with in-kernel kNN selection.
+
+    Same contract as :func:`edgeconv_pallas` but takes the pre-normalized
+    kNN features ``xn`` (ops.neighbors.knn_normalized) instead of an index
+    tensor; the neighbor sets are identical to ``knn_pallas(xn, xn, k)``
+    (bit-identical packed keys, kernels/keys.py).
+
+    :param u: (B, N, C1) center term;  w: (B, N, C1) neighbor term
+    :param xn: (B, N, CX) normalized features the kNN graph is built from
+    :param w2: (C1, C2) folded conv2 weight;  b2: (C2,) folded bias
+    :returns: (B, N, C2)
+    """
+    bsz, n, c1 = u.shape
+    cx = xn.shape[-1]
+    c2 = w2.shape[1]
+    xn = xn.astype(jnp.float32)
+    tile = 128 if n % 128 == 0 else (64 if n % 64 == 0 else n)
+    n_pad = _round_up(n, tile)
+    if n_pad != n:
+        pad = ((0, 0), (0, n_pad - n), (0, 0))
+        u, w, xn = (jnp.pad(a, pad) for a in (u, w, xn))
+    idx_bits = keys_mod.packing_bits(n_pad)
+    b2 = b2.reshape(1, c2)
+
+    grid = (bsz, n_pad // tile)
+    kernel = functools.partial(
+        _edgeconv_knn_kernel, knn_k=knn_k, alpha=alpha,
+        idx_bits=idx_bits, m_valid=n,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, tile, cx), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_pad, cx), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, c1), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_pad, c1), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c1, c2), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c2), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tile, c2), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bsz, n_pad, c2), u.dtype),
+        interpret=interpret,
+    )(xn, xn, u, w, w2, b2)
     return out[:, :n]

@@ -21,6 +21,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from samble_tpu.kernels import keys as keys_mod
+
 
 def _knn_kernel(a_ref, b_ref, dist_ref, idx_ref, *, k: int, m_valid: int,
                 idx_bits: int):
@@ -45,25 +47,15 @@ def _knn_kernel(a_ref, b_ref, dist_ref, idx_ref, *, k: int, m_valid: int,
     b = b_ref[0]  # (M, C)
     tile, m = a.shape[0], b.shape[0]
 
-    # squared distances via the MXU cross term; full f32 precision — the
-    # cancellation a·a − 2a·b + b·b is exactly why (see ops/neighbors.py)
-    inner = jax.lax.dot_general(
-        a, b,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )  # (TILE, M)
-    aa = jnp.sum(a * a, axis=1, keepdims=True)  # (TILE, 1)
-    bb = jnp.sum(b * b, axis=1, keepdims=True)  # (M, 1)
-    sq = jnp.maximum(aa - 2.0 * inner + bb.T, 0.0)  # (TILE, M)
-
-    col = jax.lax.broadcasted_iota(jnp.int32, (tile, m), 1)
+    # squared distances via the MXU cross term (full f32 precision — the
+    # cancellation a·a − 2a·b + b·b is exactly why, see ops/neighbors.py),
+    # packed into distance|column keys; padded reference rows never win the
+    # min.  Shared helper so threshold-mask consumers (kernels/n2p.py,
+    # kernels/score.py) recompute bit-identical keys.
+    key = keys_mod.packed_key_tile(a, b, idx_bits, m_valid)
     low_mask = (1 << idx_bits) - 1
-    intmax = jnp.int32(0x7FFFFFFF)
-    key = (jax.lax.bitcast_convert_type(sq, jnp.int32) & ~low_mask) | col
-    if m_valid < m:
-        # padded reference rows must never win the min
-        key = jnp.where(col < m_valid, key, intmax)
+    intmax = keys_mod.INTMAX
+    col_k = jax.lax.broadcasted_iota(jnp.int32, (tile, k), 1)
 
     # NOTE: two-level variants (per-128-lane-block parallel min extraction
     # into a candidate pool, then a short exact merge) were tried TWICE and
@@ -74,7 +66,6 @@ def _knn_kernel(a_ref, b_ref, dist_ref, idx_ref, *, k: int, m_valid: int,
     # shape on this Mosaic version — ~75%% of its theoretical VPU-pass
     # bound.
     pool = key
-    col_k = jax.lax.broadcasted_iota(jnp.int32, (tile, k), 1)
     keys0 = jnp.zeros((tile, k), jnp.int32)
 
     def body(j, carry):

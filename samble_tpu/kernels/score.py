@@ -28,6 +28,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from samble_tpu.kernels import keys as keys_mod
+
 
 def _score_kernel(
     q_ref, k_ref, idx_ref, colsum_m_ref, colsum_f_ref, colcnt_ref,
@@ -161,6 +163,157 @@ def sparse_attention_score_pallas(
         interpret=interpret,
     )(q, k, nb_idx)
     # only point columns carry scores (token columns are key-side only)
+    return colsum_m[:, 0, :n], colsum_f[:, 0, :n], colcnt[:, 0, :n]
+
+
+def _score_fused_kernel(
+    xa_ref, xb_ref, q_ref, k_ref, colsum_m_ref, colsum_f_ref, colcnt_ref,
+    *, scale: float, n_valid: int, rows_valid: int, knn_k: int,
+    idx_bits: int, nk_pad: int, fast_sel: bool,
+):
+    """kNN-fused variant of _score_kernel: the adjacency row is derived from
+    recomputed packed distance keys (kernels/keys.py) and a per-row K-th-key
+    threshold — no index list, no separate kNN kernel, no K-compare rebuild.
+
+    xa_ref: (1, TILE, C)    normalized kNN features, tile rows
+    xb_ref: (1, NKPAD, C)   normalized kNN features, all rows (point rows only)
+    q_ref:  (1, TILE, D); k_ref: (1, NT, D) keys incl. bin-token columns
+    """
+    j = pl.program_id(1)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    tile, nt = q.shape[0], k.shape[0]
+
+    energy = jax.lax.dot_general(
+        q, k,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (TILE, NT)
+    energy = energy * scale
+    col = jax.lax.broadcasted_iota(jnp.int32, (tile, nt), 1)
+    energy = jnp.where(col < n_valid, energy, -jnp.inf)
+
+    row_max = jnp.max(energy, axis=1, keepdims=True)
+    ex = jnp.exp(energy - row_max)
+    attn = ex / jnp.sum(ex, axis=1, keepdims=True)  # (TILE, NT)
+    row_id = j * tile + jax.lax.broadcasted_iota(jnp.int32, (tile, nt), 0)
+    attn = jnp.where(row_id < rows_valid, attn, 0.0)
+
+    # adjacency from packed keys: one matmul + one compare, K-exact
+    key = keys_mod.packed_key_tile(
+        xa_ref[0], xb_ref[0], idx_bits, rows_valid
+    )  # (TILE, NKPAD) — point columns only
+    kth = (keys_mod.kth_smallest_key_fast(key, knn_k) if fast_sel
+           else keys_mod.kth_smallest_key(key, knn_k))
+    # mask-width row-validity iota built directly (lane-slicing a wider
+    # iota trips a Mosaic strided-slice bug on this toolchain)
+    row_id_k = j * tile + jax.lax.broadcasted_iota(
+        jnp.int32, (tile, nk_pad), 0
+    )
+    maskp = ((key <= kth) & (row_id_k < rows_valid)).astype(jnp.float32)
+    if nt > nk_pad:
+        mask = jnp.concatenate(
+            [maskp, jnp.zeros((tile, nt - nk_pad), jnp.float32)], axis=1
+        )
+    else:
+        mask = maskp[:, :nt]
+
+    part_m = jnp.sum(attn * mask, axis=0, keepdims=True)  # (1, NT)
+    part_f = jnp.sum(attn, axis=0, keepdims=True)
+    part_c = jnp.sum(mask, axis=0, keepdims=True)
+
+    @pl.when(j == 0)
+    def _():
+        colsum_m_ref[0] = jnp.zeros((1, nt), jnp.float32)
+        colsum_f_ref[0] = jnp.zeros((1, nt), jnp.float32)
+        colcnt_ref[0] = jnp.zeros((1, nt), jnp.float32)
+
+    colsum_m_ref[0] += part_m
+    colsum_f_ref[0] += part_f
+    colcnt_ref[0] += part_c
+
+
+@functools.partial(jax.jit, static_argnames=("knn_k", "scale", "interpret",
+                                              "fast_sel"))
+def sparse_attention_score_fused(
+    q: jax.Array,
+    k: jax.Array,
+    xn: jax.Array,
+    knn_k: int,
+    scale: float,
+    interpret: bool = False,
+    fast_sel: bool = True,
+):
+    """kNN-fused masked/unmasked column sums — no separate kNN kernel.
+
+    Same contract as :func:`sparse_attention_score_pallas`, but the kNN
+    adjacency is computed in-kernel from ``xn`` (the pre-normalized kNN
+    features, ops.neighbors.knn_normalized) instead of an index list.
+
+    :param q: (B, N, D) queries (points only)
+    :param k: (B, NT, D) keys — N point columns then bin-token columns
+    :param xn: (B, N, C) pre-normalized features the kNN graph is built from
+    :returns: ``(colsum_masked (B, N), colsum_full (B, N), colcnt (B, N))``
+    """
+    bsz, n, d = q.shape
+    nt = k.shape[1]
+    c = xn.shape[-1]
+    q = q.astype(jnp.float32)
+    k = k.astype(jnp.float32)
+    xn = xn.astype(jnp.float32)
+
+    tile = 128 if n % 128 == 0 else (64 if n % 64 == 0 else n)
+    n_pad = _round_up(n, tile)
+    nt_pad = _round_up(nt, 128)
+    nk_pad = min(_round_up(n, 128), nt_pad)
+    if n_pad != n:
+        pad = ((0, 0), (0, n_pad - n), (0, 0))
+        q = jnp.pad(q, pad)
+        xn_rows = jnp.pad(xn, pad)
+    else:
+        xn_rows = xn
+    if nk_pad != n:
+        xn_cols = jnp.pad(xn, ((0, 0), (0, nk_pad - n), (0, 0)))
+    else:
+        xn_cols = xn
+    if nt_pad != nt:
+        k = jnp.pad(k, ((0, 0), (0, nt_pad - nt), (0, 0)))
+    idx_bits = keys_mod.packing_bits(nk_pad)
+
+    grid = (bsz, n_pad // tile)
+    kernel = functools.partial(
+        _score_fused_kernel, scale=scale, n_valid=nt, rows_valid=n,
+        knn_k=knn_k, idx_bits=idx_bits, nk_pad=nk_pad, fast_sel=fast_sel,
+    )
+    colsum_m, colsum_f, colcnt = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, tile, c), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nk_pad, c), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nt_pad, d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, nt_pad), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, nt_pad), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, nt_pad), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bsz, 1, nt_pad), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, 1, nt_pad), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, 1, nt_pad), jnp.float32),
+        ],
+        interpret=interpret,
+    )(xn_rows, xn_cols, q, k)
     return colsum_m[:, 0, :n], colsum_f[:, 0, :n], colcnt[:, 0, :n]
 
 

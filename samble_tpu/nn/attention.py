@@ -83,8 +83,8 @@ class Neighbor2PointAttention(nn.Module):
         # gather(conv(x)) − conv(x).  This turns the reference's matmul over
         # the (B, N, K, C) grouped tensor (models/attention.py:175-181 —
         # K times the FLOPs) into a per-point matmul plus a gather.  Exact.
-        idx = ops.neighbors.knn_indices(x, self.k)  # (B, N, K)
         n = x.shape[1]
+        x_raw = x
         x = x.astype(self.dtype)
         q = split_heads(Conv1x1(self.q_out, dtype=self.dtype)(x), self.num_heads)
         k_pt = Conv1x1(self.k_out, dtype=self.dtype)(x)  # (B, N, C)
@@ -102,15 +102,27 @@ class Neighbor2PointAttention(nn.Module):
                 raise ValueError(f"asm must be dot or dot-sub, got {self.asm}")
             negate = self.asm == "dot-sub"
             subtract_v = self.group_type == "diff"
-            from samble_tpu.kernels.n2p import n2p_attention, n2p_dense_reference
+            if impl == "pallas":
+                # kNN selection fused INTO the attention kernel: no index
+                # pass, no mask rebuild (kernels/n2p.py docstring)
+                from samble_tpu.kernels.n2p import n2p_attention_fused
 
-            fn = n2p_attention if impl == "pallas" else n2p_dense_reference
-            out = fn(
-                merge_heads(q), k_pt, v_pt, idx,
-                self.num_heads, scale, negate, subtract_v,
-            )
+                out = n2p_attention_fused(
+                    merge_heads(q), k_pt, v_pt,
+                    ops.neighbors.knn_normalized(x_raw),
+                    self.num_heads, scale, negate, subtract_v, self.k,
+                )
+            else:
+                from samble_tpu.kernels.n2p import n2p_dense_reference
+
+                idx = ops.neighbors.knn_indices(x_raw, self.k)  # (B, N, K)
+                out = n2p_dense_reference(
+                    merge_heads(q), k_pt, v_pt, idx,
+                    self.num_heads, scale, negate, subtract_v,
+                )
             return self._res_ffn(x, out.astype(self.dtype))
 
+        idx = ops.neighbors.knn_indices(x_raw, self.k)  # (B, N, K)
         k_nb = ops.index_points(k_pt, idx)  # (B, N, K, C)
         v_nb = ops.index_points(v_pt, idx)
         if self.group_type == "diff":

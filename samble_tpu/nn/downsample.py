@@ -149,11 +149,12 @@ class DownSampleToken(nn.Module):
             raise NotImplementedError(f"asm: {self.asm}")
 
         if fused:
-            nb_idx = ops.neighbors.knn_indices(x_f32, self.k)  # (B, N, K)
-            cm, cf, cc = kernels.sparse_attention_score_pallas(
+            # kNN adjacency computed inside the score kernel (kernels/score.py)
+            cm, cf, cc = kernels.sparse_attention_score_fused(
                 jax.lax.stop_gradient(q_proj),
                 jax.lax.stop_gradient(k_proj),
-                nb_idx, scale,
+                ops.neighbors.knn_normalized(x_f32),
+                self.k, scale,
             )
             score = score_from_colsums(cm, cf, cc, self.idx_mode)[:, None]
             # bin-token logits: differentiable thin slice of the energy

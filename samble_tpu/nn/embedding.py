@@ -66,10 +66,7 @@ class EdgeConv(nn.Module):
             nn.initializers.lecun_normal(),
             (c_in, self.conv1_out),
         ).astype(self.dtype)
-        if self.normal_channel and c == 6:
-            idx = ops.neighbors.knn_indices(x[..., :3], self.k)
-        else:
-            idx = ops.neighbors.knn_indices(x, self.k)
+        x_knn = x[..., :3] if (self.normal_channel and c == 6) else x
         x = x.astype(self.dtype)
 
         # Every group mode reduces to a rank-1 pre-activation
@@ -111,7 +108,8 @@ class EdgeConv(nn.Module):
             # Fused eval path (kernels/edgeconv.py): in eval mode BN is a
             # per-channel affine, so probe the existing submodules for
             # their affine forms — the parameter tree stays identical to
-            # the gather path, checkpoints interchange freely.
+            # the gather path, checkpoints interchange freely.  The kNN
+            # selection happens inside the kernel (edgeconv_knn_pallas).
             c1 = self.conv1_out
             zero = jnp.zeros((1, 1, c1), self.dtype)
             one = jnp.ones((1, 1, c1), self.dtype)
@@ -120,11 +118,13 @@ class EdgeConv(nn.Module):
             u_p = a1[0] * u + b1[0]
             w_p = a1[0] * w
             w2, b2 = probe_cbl_affine(cbl, c1, self.dtype)
-            return kernels.edgeconv_pallas(
-                u_p, w_p, idx, w2, b2, alpha=0.2,
+            return kernels.edgeconv_knn_pallas(
+                u_p, w_p, ops.neighbors.knn_normalized(x_knn), self.k,
+                w2, b2, alpha=0.2,
                 interpret=not kernels.use_pallas(),
             )
 
+        idx = ops.neighbors.knn_indices(x_knn, self.k)
         g = u[:, :, None] + ops.index_points(w, idx)  # (B, N, K, conv1_out)
         g = bn1(g)
         g = leaky_relu(g)
@@ -170,15 +170,14 @@ class STN(nn.Module):
             and n >= 256
         )
         if use_fused:
-            idx = ops.neighbors.knn_indices(xyz, self.k)
-
             w1, b1 = probe_cbl_affine(cbl1, 6)  # (6, 64), (64,)
             w2, b2 = probe_cbl_affine(cbl2, 64)
             # center‖diff concat hoist: gᵀW1' = x_i·(W1'c − W1'd) + x_j·W1'd
             u = xyz @ (w1[:3] - w1[3:]) + b1
             w = xyz @ w1[3:]
-            x = kernels.edgeconv_pallas(
-                u, w, idx, w2, b2, alpha=0.2,
+            x = kernels.edgeconv_knn_pallas(
+                u, w, ops.neighbors.knn_normalized(xyz), self.k,
+                w2, b2, alpha=0.2,
                 interpret=not kernels.use_pallas(),
             )  # (B, N, 128), max over K fused
         else:

@@ -109,6 +109,18 @@ def knn_indices(points: jax.Array, k: int) -> jax.Array:
     return idx
 
 
+def knn_normalized(points: jax.Array) -> jax.Array:
+    """Reference-normalized features for in-kernel kNN (gradient stopped).
+
+    The kNN-fused Pallas kernels (kernels/n2p.py, kernels/score.py) build
+    the neighbor adjacency inside the attention kernel from packed distance
+    keys; they need the same normalized point set the standalone kNN would
+    use (utils/ops.py:23-29 semantics, self-kNN case).
+    """
+    p = jax.lax.stop_gradient(points)
+    return _normalize_pair(p, p)[0].astype(jnp.float32)
+
+
 def index_points(points: jax.Array, idx: jax.Array) -> jax.Array:
     """Gather point features by a (possibly multi-dim) index tensor.
 

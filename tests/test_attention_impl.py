@@ -119,3 +119,70 @@ def test_pallas_n2p_backward_kernel_matches_autodiff(negate, subtract_v):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4, err_msg=name
         )
+
+
+@pytest.mark.parametrize("negate", [False, True])
+@pytest.mark.parametrize("subtract_v", [False, True])
+def test_knn_fused_n2p_matches_split_pipeline(negate, subtract_v):
+    """kNN-fused attention (selection in-kernel, threshold mask) must equal
+    the split pipeline (kNN kernel → index-rebuilt mask) exactly: the packed
+    keys are recomputed bit-identically (kernels/keys.py)."""
+    from samble_tpu.kernels.knn import knn_pallas
+    from samble_tpu.kernels.n2p import _n2p_pallas_fwd, _n2p_fused_pallas_fwd
+    from samble_tpu.ops import neighbors as nbr
+
+    rng = np.random.default_rng(4)
+    heads, n, hd, kk = 4, 128, 32, 8
+    q = jnp.asarray(rng.normal(size=(2, n, hd)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(2, n, hd)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(2, n, hd)), jnp.float32)
+    x = jnp.asarray(rng.normal(size=(2, n, 16)), jnp.float32)
+    xn = nbr.knn_normalized(x)
+    scale = float(1.0 / np.sqrt(hd // heads))
+
+    idx = knn_pallas(xn, xn, kk, interpret=True)[1]
+    want = _n2p_pallas_fwd(q, k, v, idx, heads, scale, negate, subtract_v,
+                           interpret=True)
+    got, kth = _n2p_fused_pallas_fwd(q, k, v, xn, heads, scale, negate,
+                                     subtract_v, kk, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-6, atol=1e-6
+    )
+    assert kth.shape == (2, n)
+
+
+@pytest.mark.parametrize("n", [128, 192])
+def test_knn_fused_n2p_backward_matches_autodiff(n):
+    """Backward of the kNN-fused kernel (threshold mask from the saved kth
+    key) vs jax.grad of the dense reference over the same neighbor sets."""
+    from samble_tpu.kernels.knn import knn_pallas
+    from samble_tpu.kernels.n2p import (
+        _n2p_fused_fwd, _n2p_fused_bwd, n2p_dense_reference,
+    )
+    from samble_tpu.ops import neighbors as nbr
+
+    rng = np.random.default_rng(5)
+    heads, hd, kk = 4, 32, 8
+    q = jnp.asarray(rng.normal(size=(2, n, hd)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(2, n, hd)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(2, n, hd)), jnp.float32)
+    g = jnp.asarray(rng.normal(size=(2, n, hd)), jnp.float32)
+    x = jnp.asarray(rng.normal(size=(2, n, 16)), jnp.float32)
+    xn = nbr.knn_normalized(x)
+    scale = float(1.0 / np.sqrt(hd // heads))
+
+    idx = knn_pallas(xn, xn, kk, interpret=True)[1]
+    _, vjp = jax.vjp(
+        lambda q, k, v: n2p_dense_reference(q, k, v, idx, heads, scale,
+                                            False, True),
+        q, k, v,
+    )
+    want = vjp(g)
+    out, res = _n2p_fused_fwd(q, k, v, xn, heads, scale, False, True, kk,
+                              interpret=True)
+    got = _n2p_fused_bwd(heads, scale, False, True, kk, True, res, g)
+    for name, a, b in zip(("dq", "dk", "dv"), got, want):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4, err_msg=name
+        )
+    assert np.all(np.asarray(got[3]) == 0.0)  # xn carries no gradient

@@ -153,3 +153,64 @@ def test_fused_stn_matches_gather():
     np.testing.assert_allclose(
         np.asarray(out_f), np.asarray(out_g), rtol=2e-4, atol=2e-5
     )
+
+
+@pytest.mark.parametrize("n,nb,kk", [(64, 6, 8), (96, 4, 5)])
+def test_score_fused_matches_split_pipeline(n, nb, kk):
+    """kNN-fused score kernel (threshold mask in-kernel) vs the split
+    pipeline (kNN kernel → index-list mask rebuild): identical column sums."""
+    from samble_tpu.kernels.score import sparse_attention_score_fused
+    from samble_tpu.ops import neighbors as nbr
+
+    rng = np.random.default_rng(8)
+    b, d = 2, 16
+    q = jnp.asarray(rng.normal(size=(b, n, d)).astype(np.float32))
+    keys = jnp.asarray(rng.normal(size=(b, n + nb, d)).astype(np.float32))
+    x = jnp.asarray(rng.normal(size=(b, n, 8)).astype(np.float32))
+    xn = nbr.knn_normalized(x)
+    scale = float(1.0 / np.sqrt(d))
+
+    nb_idx = knn_pallas(xn, xn, kk, interpret=True)[1]
+    want = sparse_attention_score_pallas(q, keys, nb_idx, scale,
+                                         interpret=True)
+    got = sparse_attention_score_fused(q, keys, xn, kk, scale,
+                                       interpret=True)
+    for name, a, b_ in zip(("colsum_m", "colsum_f", "colcnt"), got, want):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), rtol=1e-6, atol=1e-6, err_msg=name
+        )
+
+
+def test_kth_smallest_key_fast_matches_extraction():
+    """Bisection+adaptive-tail selection vs plain K-round extraction —
+    exact equality, including duplicate-heavy rows and INTMAX padding."""
+    from samble_tpu.kernels import keys as keys_mod
+
+    rng = np.random.default_rng(11)
+    for k in (1, 8, 32):
+        rows = []
+        # random unique-ish keys
+        rows.append(rng.integers(0, 2**30, size=512))
+        # heavy duplicates in the value bits (packed col idx keeps keys unique)
+        dup = np.repeat(rng.integers(0, 2**20, size=16), 32)
+        rows.append(dup)
+        # padded tail
+        padded = np.concatenate(
+            [rng.integers(0, 2**28, size=256),
+             np.full(256, keys_mod.INTMAX, np.int64)]
+        )
+        rows.append(padded)
+        # narrow value range
+        rows.append(rng.integers(1000, 1030, size=512) * 1024
+                    + np.arange(512))
+        key = np.stack([r[:512] for r in rows]).astype(np.int64)
+        # make keys unique per row the way packing does (low bits = column)
+        key = ((key >> 10) << 10) + np.arange(512)[None, :]
+        key = np.minimum(key, keys_mod.INTMAX).astype(np.int32)
+        kj = jnp.asarray(key)
+        want = np.asarray(keys_mod.kth_smallest_key(kj, k))
+        got = np.asarray(keys_mod.kth_smallest_key_fast(kj, k))
+        np.testing.assert_array_equal(got, want, err_msg=f"k={k}")
+        # oracle: numpy partition
+        ref = np.sort(key, axis=1)[:, k - 1:k]
+        np.testing.assert_array_equal(want, ref, err_msg=f"k={k} oracle")
