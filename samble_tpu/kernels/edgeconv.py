@@ -145,10 +145,15 @@ def _edgeconv_knn_kernel(xa_ref, xb_ref, u_ref, w_ref, w2_ref, b2_ref,
     b2 = b2_ref[:]
     tile = u.shape[0]
 
-    pool = keys_mod.packed_key_tile(xa_ref[0], xb_ref[0], idx_bits, m_valid)
-    acc = jnp.full((tile, w2.shape[1]), -jnp.inf, jnp.float32)
+    pool0 = keys_mod.packed_key_tile(xa_ref[0], xb_ref[0], idx_bits, m_valid)
+    acc0 = jnp.full((tile, w2.shape[1]), -jnp.inf, jnp.float32)
     u_f = u.astype(jnp.float32)
-    for _ in range(knn_k):
+
+    # rolled loop (lax.fori_loop): a 32x unroll with two matmuls per round
+    # and a full-width pool carried across rounds exceeds Mosaic's
+    # compile-time resources at N=2048
+    def round_(_, carry):
+        pool, acc = carry
         kmin = jnp.min(pool, axis=1, keepdims=True)
         onehot = pool == kmin  # keys unique → exactly one column per row
         pool = jnp.where(onehot, keys_mod.INTMAX, pool)
@@ -164,6 +169,9 @@ def _edgeconv_knn_kernel(xa_ref, xb_ref, u_ref, w_ref, w2_ref, b2_ref,
             preferred_element_type=jnp.float32,
         ) + b2.astype(jnp.float32)
         acc = jnp.maximum(acc, _leaky(h, alpha))
+        return pool, acc
+
+    _, acc = jax.lax.fori_loop(0, knn_k, round_, (pool0, acc0))
     out_ref[0] = acc.astype(out_ref.dtype)
 
 

@@ -124,21 +124,25 @@ def kth_smallest_key_fast(key, k: int, bisect_rounds: int = 16):
 
     lo, hi, clo = jax.lax.fori_loop(0, bisect_rounds, bis, (lo, hi, clo))
 
-    # (k - clo)-th smallest inside the bracket (lo, hi]
-    pool = jnp.where((key > lo) & (key <= hi), key, INTMAX)
+    # (k - clo)-th smallest inside the bracket (lo, hi]; ``key`` stays
+    # read-only and the loop carries only (TILE, 1) scalars — each trip
+    # advances the exclusive lower threshold t to the next key above it
     need = k - clo  # >= 1 per the invariant
 
+    def nxt(t):
+        return jnp.min(jnp.where((key > t) & (key <= hi), key, INTMAX),
+                       axis=1, keepdims=True)
+
     def cond(carry):
-        _, need = carry
+        t, need = carry
         return jnp.max(need) > 1
 
     def step(carry):
-        pool, need = carry
-        kmin = jnp.min(pool, axis=1, keepdims=True)
+        t, need = carry
         live = need > 1
-        pool = jnp.where(live & (pool == kmin), INTMAX, pool)
+        t = jnp.where(live, nxt(t), t)
         need = jnp.where(live, need - 1, need)
-        return pool, need
+        return t, need
 
-    pool, _ = jax.lax.while_loop(cond, step, (pool, need))
-    return jnp.min(pool, axis=1, keepdims=True)
+    t, _ = jax.lax.while_loop(cond, step, (lo, need))
+    return nxt(t)

@@ -556,44 +556,83 @@ class DownSampleGlobal(nn.Module):
         kk = Conv1x1(self.k_out, dtype=self.dtype)(x)
         v = Conv1x1(self.v_out, dtype=self.dtype)(x)
 
-        if self.asm == "dot":
-            energy = jnp.einsum("bnc,bmc->bnm", q, kk)
-        elif self.asm == "dot-sub":
-            energy = jnp.einsum("bnc,bmc->bnm", q, q) - jnp.einsum(
-                "bnc,bmc->bnm", q, kk
+        from samble_tpu import kernels
+        from samble_tpu.kernels.score import FUSED_IDX_MODES, score_from_colsums
+
+        fused = (
+            kernels.use_pallas()
+            and self.asm == "dot"
+            and self.idx_mode in (*FUSED_IDX_MODES, "col_sum")
+            and n >= 256
+        )
+
+        def _rows(row_idx):
+            """Recompute selected softmax rows (B, M', N) — thin slices of
+            the map the fused path never materializes."""
+            q_sel = ops.gather_by_idx(q, row_idx)
+            e = jnp.einsum("bmc,bnc->bmn", q_sel, kk).astype(jnp.float32)
+            return jax.nn.softmax(e * scale, axis=-1).astype(self.dtype)
+
+        if fused:
+            # score without the (B, N, N) map or mask (kernels/score.py);
+            # the full column sums ride along for the dropped complement
+            cm, cf, cc = kernels.sparse_attention_score_fused(
+                jax.lax.stop_gradient(q),
+                jax.lax.stop_gradient(kk),
+                ops.neighbors.knn_normalized(x_f32),
+                self.k, scale,
             )
-        elif self.asm == "l2":
-            energy = -ops.l2_global(q[:, None], kk[:, None])[:, 0]
-        elif self.asm == "l2+":
-            energy = ops.l2_global(q[:, None], kk[:, None])[:, 0]
+            score = (cf if self.idx_mode == "col_sum"
+                     else score_from_colsums(cm, cf, cc, self.idx_mode))
+            score = jax.lax.stop_gradient(score)
+            _, idx = jax.lax.top_k(score, self.m)
+            idx = idx.astype(jnp.int32)
+            # dropped = bottom N−M by column sum (models/downsample.py:1301-1303)
+            _, idx_dropped = jax.lax.top_k(
+                -jax.lax.stop_gradient(cf), n - self.m
+            )
+            idx_dropped = idx_dropped.astype(jnp.int32)
+            x_ds = jnp.einsum("bmn,bnc->bmc", _rows(idx), v)
+            x_dropped = jnp.einsum("bmn,bnc->bmc", _rows(idx_dropped), v)
         else:
-            raise ValueError(f"asm: {self.asm}")
-        attn = jax.nn.softmax(energy.astype(jnp.float32) * scale, axis=-1)
-
-        if self.idx_mode in ("col_sum", "row_std"):
-            mask = None
-            if self.idx_mode == "col_sum":
-                score = jnp.sum(attn, axis=-2)
+            if self.asm == "dot":
+                energy = jnp.einsum("bnc,bmc->bnm", q, kk)
+            elif self.asm == "dot-sub":
+                energy = jnp.einsum("bnc,bmc->bnm", q, q) - jnp.einsum(
+                    "bnc,bmc->bnm", q, kk
+                )
+            elif self.asm == "l2":
+                energy = -ops.l2_global(q[:, None], kk[:, None])[:, 0]
+            elif self.asm == "l2+":
+                energy = ops.l2_global(q[:, None], kk[:, None])[:, 0]
             else:
-                score = jnp.std(attn, axis=-1, ddof=1)
-        else:
-            mask = ops.neighbor_mask(x_f32, self.k)
-            score = attention_point_score(
-                attn[:, None], mask, self.idx_mode, self.k
-            )[:, 0]
-        score = jax.lax.stop_gradient(score)
+                raise ValueError(f"asm: {self.asm}")
+            attn = jax.nn.softmax(energy.astype(jnp.float32) * scale, axis=-1)
 
-        _, idx = jax.lax.top_k(score, self.m)
-        idx = idx.astype(jnp.int32)
-        # dropped = bottom N−M by column sum (models/downsample.py:1301-1303)
-        col = jnp.sum(attn, axis=-2)
-        _, idx_dropped = jax.lax.top_k(-col, n - self.m)
-        idx_dropped = idx_dropped.astype(jnp.int32)
+            if self.idx_mode in ("col_sum", "row_std"):
+                mask = None
+                if self.idx_mode == "col_sum":
+                    score = jnp.sum(attn, axis=-2)
+                else:
+                    score = jnp.std(attn, axis=-1, ddof=1)
+            else:
+                mask = ops.neighbor_mask(x_f32, self.k)
+                score = attention_point_score(
+                    attn[:, None], mask, self.idx_mode, self.k
+                )[:, 0]
+            score = jax.lax.stop_gradient(score)
 
-        attn_down = ops.gather_by_idx(attn, idx).astype(self.dtype)
-        x_ds = jnp.einsum("bmn,bnc->bmc", attn_down, v)
-        attn_drop = ops.gather_by_idx(attn, idx_dropped).astype(self.dtype)
-        x_dropped = jnp.einsum("bmn,bnc->bmc", attn_drop, v)
+            _, idx = jax.lax.top_k(score, self.m)
+            idx = idx.astype(jnp.int32)
+            # dropped = bottom N−M by column sum (models/downsample.py:1301-1303)
+            col = jnp.sum(attn, axis=-2)
+            _, idx_dropped = jax.lax.top_k(-col, n - self.m)
+            idx_dropped = idx_dropped.astype(jnp.int32)
+
+            attn_down = ops.gather_by_idx(attn, idx).astype(self.dtype)
+            x_ds = jnp.einsum("bmn,bnc->bmc", attn_down, v)
+            attn_drop = ops.gather_by_idx(attn, idx_dropped).astype(self.dtype)
+            x_dropped = jnp.einsum("bmn,bnc->bmc", attn_drop, v)
 
         if self.res:
             x_ds = _res_block(self, x, x_ds, idx, self.ff, self.train)
