@@ -38,13 +38,6 @@ def build_config(argv: Optional[List[str]], dataset: str, default_usr: str):
             specials[key] = a.split("=", 1)[1]
         else:
             overrides.append(a)
-    usr = specials.get("usr_config", os.path.join(CONFIG_DIR, default_usr))
-    cfg = load_config(
-        os.path.join(CONFIG_DIR, "default.yaml"),
-        dataset_path=os.path.join(CONFIG_DIR, "datasets", f"{dataset}.yaml"),
-        usr_config_path=usr,
-        cli_overrides=overrides,
-    )
     workdir = specials.get(
         "workdir",
         os.path.join(REPO_ROOT, "runs", f"{time.strftime('%Y%m%d_%H%M%S')}_{dataset}"),
@@ -53,6 +46,24 @@ def build_config(argv: Optional[List[str]], dataset: str, default_usr: str):
         "1", "true", "yes",
     )
     resume = str(specials.get("resume", "false")).lower() in ("1", "true", "yes")
+
+    # resume resurrects the run's own saved config (run_config.json) so
+    # ``workdir=<run> resume=true`` alone continues with identical shapes
+    # and schedules; explicit usr_config= or dotted overrides still win
+    # (mirrors the test CLIs' resurrection, reference test_modelnet.py:51-59)
+    if resume and "usr_config" not in specials:
+        run_cfg_path, _ = resurrect_run_config(workdir)
+        if run_cfg_path is not None:
+            cfg = build_config_from_run(run_cfg_path, overrides)
+            return cfg, workdir, synthetic, resume
+
+    usr = specials.get("usr_config", os.path.join(CONFIG_DIR, default_usr))
+    cfg = load_config(
+        os.path.join(CONFIG_DIR, "default.yaml"),
+        dataset_path=os.path.join(CONFIG_DIR, "datasets", f"{dataset}.yaml"),
+        usr_config_path=usr,
+        cli_overrides=overrides,
+    )
     return cfg, workdir, synthetic, resume
 
 

@@ -84,3 +84,32 @@ def test_train_then_eval_cli(tmp_path):
     line = next(l for l in out.splitlines() if l.startswith("{"))
     result = json.loads(line)
     assert 0.0 <= result["acc"] <= 1.0
+
+
+def test_train_resume_resurrects_config(tmp_path):
+    """``workdir=<run> resume=true`` must continue with the run's OWN saved
+    config (run_config.json) — not the default shapes — with dotted
+    overrides still applied on top."""
+    workdir = str(tmp_path / "run")
+    _run(
+        "samble_tpu.cli.train_modelnet",
+        [f"workdir={workdir}", "synthetic_data=true", *TINY],
+    )
+    out = _run(
+        "samble_tpu.cli.train_modelnet",
+        [f"workdir={workdir}", "resume=true", "synthetic_data=true",
+         "train.epochs=2"],
+    )
+    assert "[resume] restored" in out
+    cfg = json.load(open(os.path.join(workdir, "run_config.json")))
+    # resurrected tiny shape, not the 2048-pt default
+    assert cfg["train"]["dataloader"]["selected_points"] == 128
+    assert cfg["feature_learning_block"]["downsample"]["M"] == [64, 32]
+    # the override on top of the resurrected config took effect
+    assert cfg["train"]["epochs"] == 2
+    recs = [
+        json.loads(l)
+        for l in open(os.path.join(workdir, "metrics.jsonl"))
+        if l.strip() and "train/loss" in l
+    ]
+    assert recs[-1]["epoch"] == 1  # continued into epoch 1 of 2
