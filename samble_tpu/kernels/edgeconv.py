@@ -156,8 +156,8 @@ def _edgeconv_knn_kernel(xa_ref, xb_ref, u_ref, w_ref, w2_ref, b2_ref,
     # 8-wide body inside a short fori_loop keeps both compile size and ILP;
     # the unroll budget shrinks with the row width (8-wide still blows the
     # compiler at N=4096).
-    budget = max(1, (8 * 2048) // w.shape[0])
-    unroll = next(u for u in (8, 4, 2, 1) if u <= budget and knn_k % u == 0)
+    budget = max(1, (16 * 1024) // w.shape[0])
+    unroll = next(u for u in (16, 8, 4, 2, 1) if u <= budget and knn_k % u == 0)
 
     def round_(_, carry):
         pool, acc = carry
