@@ -214,3 +214,35 @@ def test_kth_smallest_key_fast_matches_extraction():
         # oracle: numpy partition
         ref = np.sort(key, axis=1)[:, k - 1:k]
         np.testing.assert_array_equal(want, ref, err_msg=f"k={k} oracle")
+
+
+@pytest.mark.parametrize("n", [96, 91])
+def test_fused_kernels_odd_n(n):
+    """Fused kernels at N not divisible by the preferred tile sizes: the
+    tile=n fallback path must stay exact (verified bit-exact on real TPU up
+    to N=273 prime-ish; this guards the interpret path in CI)."""
+    from samble_tpu.kernels.n2p import _n2p_fused_pallas_fwd, n2p_dense_reference
+    from samble_tpu.kernels.score import sparse_attention_score_fused
+    from samble_tpu.ops import neighbors as nbr
+
+    rng = np.random.default_rng(21)
+    c, kk = 16, 5
+    x = jnp.asarray(rng.normal(size=(2, n, c)), jnp.float32)
+    xn = nbr.knn_normalized(x)
+    q = jnp.asarray(rng.normal(size=(2, n, c)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(2, n, c)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(2, n, c)), jnp.float32)
+    out, _ = _n2p_fused_pallas_fwd(q, k, v, xn, 4, 0.5, False, True, kk,
+                                   interpret=True)
+    idx = knn_pallas(xn, xn, kk, interpret=True)[1]
+    ref = n2p_dense_reference(q, k, v, idx, 4, 0.5, False, True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+    kt = jnp.asarray(rng.normal(size=(2, n + 4, c)), jnp.float32)
+    cm, cf, cc = sparse_attention_score_fused(q, kt, xn, kk, 0.25,
+                                              interpret=True)
+    want = sparse_attention_score_pallas(q, kt, idx, 0.25, interpret=True)
+    for name, a, b in zip(("cm", "cf", "cc"), (cm, cf, cc), want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-6, err_msg=name)
