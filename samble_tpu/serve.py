@@ -104,7 +104,10 @@ class Server:
         cfg = build_config_from_run(cfg_path, [])
         if task is None:
             # ShapeNet's category mapping has 16 entries, ModelNet40 has 40
-            mapping = cfg.select("datasets.mapping") or {}
+            mapping = cfg.select("datasets.mapping")
+            mapping = mapping.to_dict() if hasattr(mapping, "to_dict") else (
+                mapping or {}
+            )
             task = "seg" if len(mapping) == 16 else "cls"
         return cls(cfg, normalize_ckpt_dir(run_dir), task=task, **kw)
 

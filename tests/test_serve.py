@@ -61,3 +61,38 @@ def test_server_sharded_inference(tmp_path):
     # per-cloud results do not depend on batch co-membership / sharding
     logits2 = srv(pts[:8])
     np.testing.assert_allclose(logits[:8], logits2, rtol=2e-4, atol=2e-5)
+
+
+def test_server_from_run(tmp_path):
+    """from_run: config resurrection + task autodetection from a real run
+    directory (regression: datasets.mapping is a Config, not a dict)."""
+    import json
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    workdir = str(tmp_path / "run")
+    env = {k: v for k, v in os.environ.items() if k != "PALLAS_AXON_POOL_IPS"}
+    env.update({
+        "JAX_PLATFORMS": "cpu", "JAX_PLATFORM_NAME": "cpu",
+        "JAX_COMPILATION_CACHE_DIR": "/root/.cache/jax_test_cache",
+        "JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS": "0.3",
+    })
+    proc = subprocess.run(
+        [sys.executable, "-m", "samble_tpu.cli.train_modelnet",
+         f"workdir={workdir}", "synthetic_data=true",
+         "train.dataloader.selected_points=128",
+         "feature_learning_block.downsample.M=[64,32]",
+         "feature_learning_block.downsample.K=8",
+         "feature_learning_block.embedding.K=[8,8]",
+         "feature_learning_block.attention.K=[8,8,8]",
+         "train.epochs=1", "train.validation_freq=1",
+         "train.dataloader.batch_size_per_gpu=4"],
+        env=env, cwd=repo, capture_output=True, text=True, timeout=1200,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    srv = Server.from_run(workdir, dtype=np.float32)
+    assert srv.task == "cls"
+    pts = np.random.default_rng(1).normal(size=(8, 128, 3)).astype(np.float32)
+    logits = srv(pts)
+    assert logits.shape == (8, 40) and np.isfinite(logits).all()
