@@ -22,6 +22,12 @@ at N=1024 — the first downsampler kept ALL points); this bench scales M
 with N (1024 → M=[512,256]), i.e. it does strictly MORE work per cloud
 than the anchor.
 
+Drift caveat: this box's delivered TPU throughput varies on the scale of
+HOURS (controlled A/B: the identical compiled primary config measured
+2085 clouds/s in one session and 1551 a few hours later — weights, code
+and method unchanged).  Compare numbers measured close together in time;
+cross-round comparisons carry ~±25% noise from this alone.
+
 Env knobs: SAMBLE_BENCH_QUICK=1     → primary config only.
            SAMBLE_BENCH_F32=1       → float32 instead of bfloat16.
            SAMBLE_BENCH_TRACE=<dir> → capture a jax.profiler trace of one

@@ -75,15 +75,23 @@ class Server:
         else:
             self._vote = None
 
+        # close over the restored variables instead of passing them as an
+        # argument: weights become compile-time constants XLA can pre-pack
+        # into the executable.  Serving restores once, so the
+        # one-executable-per-checkpoint tradeoff is right here (the training
+        # loop, which updates params every step, passes state).  Measured
+        # equal-throughput on this box within its hour-scale drift envelope.
+        captured = self.state.variables()
+
         def forward(state, points, cat, rng):
-            variables = state.variables()
+            del state  # kept in the signature for call-site compatibility
             if task == "cls":
                 logits, _ = self.model.apply(
-                    variables, points, rngs={"sampling": rng}
+                    captured, points, rngs={"sampling": rng}
                 )
             else:
                 logits, _ = self.model.apply(
-                    variables, points, cat, rngs={"sampling": rng}
+                    captured, points, cat, rngs={"sampling": rng}
                 )
             return logits
 
