@@ -53,9 +53,16 @@ def build_config(argv: Optional[List[str]], dataset: str, default_usr: str):
     # (mirrors the test CLIs' resurrection, reference test_modelnet.py:51-59)
     if resume and "usr_config" not in specials:
         run_cfg_path, _ = resurrect_run_config(workdir)
-        if run_cfg_path is not None:
-            cfg = build_config_from_run(run_cfg_path, overrides)
-            return cfg, workdir, synthetic, resume
+        if run_cfg_path is None:
+            # a typo'd workdir must not silently restart with default
+            # shapes and overwrite the run it failed to find
+            raise FileNotFoundError(
+                f"resume=true but no run_config.json found under {workdir!r}; "
+                "check the workdir= path (or pass usr_config= explicitly to "
+                "resume with a fresh config)"
+            )
+        cfg = build_config_from_run(run_cfg_path, overrides)
+        return cfg, workdir, synthetic, resume
 
     usr = specials.get("usr_config", os.path.join(CONFIG_DIR, default_usr))
     cfg = load_config(

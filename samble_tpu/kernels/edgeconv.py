@@ -76,6 +76,14 @@ def _round_up(x: int, mult: int) -> int:
     return ((x + mult - 1) // mult) * mult
 
 
+def _tile_for(n: int) -> int:
+    """Row-tile width: 128 when it divides N, else 64, else N itself — the
+    chosen tile always divides N, so the wrappers never row-pad.  Packed-key
+    index width still follows keys.py's contract
+    (``packing_bits(round_up(N, 128))``) for bit-identity with knn_pallas."""
+    return 128 if n % 128 == 0 else (64 if n % 64 == 0 else n)
+
+
 @functools.partial(jax.jit, static_argnames=("alpha", "interpret"))
 def edgeconv_pallas(u, w, idx, w2, b2, alpha: float = 0.2,
                     interpret: bool = False):
@@ -90,12 +98,8 @@ def edgeconv_pallas(u, w, idx, w2, b2, alpha: float = 0.2,
     bsz, n, c1 = u.shape
     c2 = w2.shape[1]
     knn_k = idx.shape[-1]
-    tile = 128 if n % 128 == 0 else (64 if n % 64 == 0 else n)
-    n_pad = _round_up(n, tile)
-    if n_pad != n:
-        u = jnp.pad(u, ((0, 0), (0, n_pad - n), (0, 0)))
-        w = jnp.pad(w, ((0, 0), (0, n_pad - n), (0, 0)))
-        idx = jnp.pad(idx, ((0, 0), (0, n_pad - n), (0, 0)))
+    tile = _tile_for(n)  # always divides n — no row padding needed
+    n_pad = n
     b2 = b2.reshape(1, c2)
 
     grid = (bsz, n_pad // tile)
@@ -202,12 +206,9 @@ def edgeconv_knn_pallas(u, w, xn, knn_k: int, w2, b2, alpha: float = 0.2,
     cx = xn.shape[-1]
     c2 = w2.shape[1]
     xn = xn.astype(jnp.float32)
-    tile = 128 if n % 128 == 0 else (64 if n % 64 == 0 else n)
-    n_pad = _round_up(n, tile)
-    if n_pad != n:
-        pad = ((0, 0), (0, n_pad - n), (0, 0))
-        u, w, xn = (jnp.pad(a, pad) for a in (u, w, xn))
-    idx_bits = keys_mod.packing_bits(n_pad)
+    tile = _tile_for(n)  # always divides n — no row padding needed
+    n_pad = n
+    idx_bits = keys_mod.packing_bits(_round_up(n, 128))
     b2 = b2.reshape(1, c2)
 
     grid = (bsz, n_pad // tile)

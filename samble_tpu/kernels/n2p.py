@@ -86,6 +86,16 @@ def _n2p_kernel(
         out_ref[0, :, h * dv:(h + 1) * dv] = oh.astype(out_ref.dtype)
 
 
+def _tile_for(n: int) -> int:
+    """Row-tile width: 128 when it divides N, else 64, else N itself.
+
+    The chosen tile always divides N, so the wrappers never row-pad; the
+    packed-key index width still uses ``packing_bits(round_up(N, 128))`` to
+    honor keys.py's contract (bit-identity with the split knn_pallas, which
+    pads its reference set to a multiple of 128)."""
+    return 128 if n % 128 == 0 else (64 if n % 64 == 0 else n)
+
+
 def _round_up(x: int, mult: int) -> int:
     return ((x + mult - 1) // mult) * mult
 
@@ -99,14 +109,8 @@ def _n2p_pallas_fwd(q, k, v, idx, heads, scale, negate, subtract_v,
     bsz, n, hdq = q.shape
     hdv = v.shape[-1]
     knn_k = idx.shape[-1]
-    tile = 128 if n % 128 == 0 else (64 if n % 64 == 0 else n)
-    n_pad = _round_up(n, tile)
-    if n_pad != n:
-        q = jnp.pad(q, ((0, 0), (0, n_pad - n), (0, 0)))
-        k = jnp.pad(k, ((0, 0), (0, n_pad - n), (0, 0)))
-        v = jnp.pad(v, ((0, 0), (0, n_pad - n), (0, 0)))
-        # padded query rows attend to column 0 (real); sliced off below
-        idx = jnp.pad(idx, ((0, 0), (0, n_pad - n), (0, 0)))
+    tile = _tile_for(n)  # always divides n — no row padding needed
+    n_pad = n
 
     grid = (bsz, n_pad // tile)
     kernel = functools.partial(
@@ -225,12 +229,8 @@ def _n2p_pallas_bwd(q, k, v, idx, g, heads, scale, negate, subtract_v,
     bsz, n, hdq = q.shape
     hdv = v.shape[-1]
     knn_k = idx.shape[-1]
-    tile = 128 if n % 128 == 0 else (64 if n % 64 == 0 else n)
-    n_pad = _round_up(n, tile)
-    if n_pad != n:
-        pad = ((0, 0), (0, n_pad - n), (0, 0))
-        q, k, v, g = (jnp.pad(a, pad) for a in (q, k, v, g))
-        idx = jnp.pad(idx, ((0, 0), (0, n_pad - n), (0, 0)))
+    tile = _tile_for(n)  # always divides n — no row padding needed
+    n_pad = n
 
     grid = (bsz, n_pad // tile)
     kernel = functools.partial(
@@ -405,12 +405,9 @@ def _n2p_fused_pallas_fwd(q, k, v, xn, heads, scale, negate, subtract_v,
     hdv = v.shape[-1]
     c = xn.shape[-1]
     xn = xn.astype(jnp.float32)
-    tile = 128 if n % 128 == 0 else (64 if n % 64 == 0 else n)
-    n_pad = _round_up(n, tile)
-    if n_pad != n:
-        pad = ((0, 0), (0, n_pad - n), (0, 0))
-        q, k, v, xn = (jnp.pad(a, pad) for a in (q, k, v, xn))
-    idx_bits = keys_mod.packing_bits(n_pad)
+    tile = _tile_for(n)  # always divides n — no row padding needed
+    n_pad = n
+    idx_bits = keys_mod.packing_bits(_round_up(n, 128))
 
     grid = (bsz, n_pad // tile)
     kernel = functools.partial(
@@ -531,15 +528,10 @@ def _n2p_fused_pallas_bwd(q, k, v, xn, kth, g, heads, scale, negate,
     hdv = v.shape[-1]
     c = xn.shape[-1]
     xn = xn.astype(jnp.float32)
-    tile = 128 if n % 128 == 0 else (64 if n % 64 == 0 else n)
-    n_pad = _round_up(n, tile)
-    if n_pad != n:
-        pad = ((0, 0), (0, n_pad - n), (0, 0))
-        q, k, v, g, xn = (jnp.pad(a, pad) for a in (q, k, v, g, xn))
-        kth = jnp.pad(kth, ((0, 0), (0, n_pad - n)),
-                      constant_values=0x7FFFFFFF)
-    idx_bits = keys_mod.packing_bits(n_pad)
-    kth = kth[..., None]  # (B, NPAD, 1)
+    tile = _tile_for(n)  # always divides n — no row padding needed
+    n_pad = n
+    idx_bits = keys_mod.packing_bits(_round_up(n, 128))
+    kth = kth[..., None]  # (B, N, 1)
 
     grid = (bsz, n_pad // tile)
     kernel = functools.partial(

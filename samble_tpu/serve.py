@@ -81,10 +81,13 @@ class Server:
         # one-executable-per-checkpoint tradeoff is right here (the training
         # loop, which updates params every step, passes state).  Measured
         # equal-throughput on this box within its hour-scale drift envelope.
+        # The closure makes the executable weight-specific: swapping
+        # checkpoints requires building a new Server (documented contract —
+        # there is deliberately no state argument to mis-pass stale weights
+        # through).
         captured = self.state.variables()
 
-        def forward(state, points, cat, rng):
-            del state  # kept in the signature for call-site compatibility
+        def forward(points, cat, rng):
             if task == "cls":
                 logits, _ = self.model.apply(
                     captured, points, rngs={"sampling": rng}
@@ -129,7 +132,7 @@ class Server:
             if self._vote is not None:
                 out = self._vote(self.state, pts, None, rng)
                 return np.asarray(out["logits"])
-            return np.asarray(self._forward(self.state, pts, None, rng))
+            return np.asarray(self._forward(pts, None, rng))
         cat_oh = cat if cat is not None else np.zeros(
             (points.shape[0], 16), np.float32
         )
@@ -137,7 +140,7 @@ class Server:
         if self._vote is not None:
             out = self._vote(self.state, pts, cat_oh, rng)
             return np.asarray(out["logits"])
-        return np.asarray(self._forward(self.state, pts, cat_oh, rng))
+        return np.asarray(self._forward(pts, cat_oh, rng))
 
     def throughput(self, batch: int = 128, iters: int = 10) -> float:
         """Measured clouds/sec (chained dispatch + readback fence — the
@@ -153,9 +156,7 @@ class Server:
             shard_batch(self.mesh, np.zeros((batch, 16), np.float32))
             if self.task == "seg" else None
         )
-        state = self.state
-
         def fwd(p):
-            return self._forward(state, p, cat, jax.random.key(1))
+            return self._forward(p, cat, jax.random.key(1))
 
         return batch / timeit_chained(fwd, pts, iters=iters)
