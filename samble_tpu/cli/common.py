@@ -74,6 +74,63 @@ def build_config(argv: Optional[List[str]], dataset: str, default_usr: str):
     return cfg, workdir, synthetic, resume
 
 
+def resolve_ckpt_uri(ckpt: str) -> str:
+    """Resolve a checkpoint URI to a local path (reference parity: the eval
+    scripts fetch checkpoints from wandb artifacts, test_modelnet.py:37-49).
+
+    Supported:
+      * plain local path                  → unchanged
+      * ``file://<path>``                 → local path (``.zip`` → extracted)
+      * ``http(s)://...``                 → downloaded into runs/_fetched/
+                                            (``.zip`` → extracted)
+      * ``wandb://entity/project/name:v`` → artifact download (needs wandb
+                                            login; import-gated)
+
+    Archives extract once into a content-addressed directory; repeated
+    resolutions reuse it.
+    """
+    import hashlib
+    import urllib.parse
+    import urllib.request
+    import zipfile
+
+    if ckpt.startswith("wandb://"):
+        try:
+            import wandb
+        except ImportError as e:  # pragma: no cover - env without wandb
+            raise RuntimeError(
+                "ckpt=wandb:// requires the wandb package (not installed)"
+            ) from e
+        return wandb.Api().artifact(ckpt[len("wandb://"):]).download()
+
+    scheme = urllib.parse.urlparse(ckpt).scheme
+    if scheme not in ("file", "http", "https"):
+        return ckpt
+
+    if scheme == "file":
+        local = urllib.request.url2pathname(urllib.parse.urlparse(ckpt).path)
+    else:
+        cache = os.path.join(REPO_ROOT, "runs", "_fetched")
+        os.makedirs(cache, exist_ok=True)
+        digest = hashlib.sha1(ckpt.encode()).hexdigest()[:16]
+        local = os.path.join(cache, digest + os.path.basename(
+            urllib.parse.urlparse(ckpt).path))
+        if not os.path.exists(local):
+            urllib.request.urlretrieve(ckpt, local)
+
+    if local.endswith(".zip"):
+        target = local[:-4] + "_extracted"
+        if not os.path.isdir(target):
+            with zipfile.ZipFile(local) as zf:
+                zf.extractall(target)
+        # a zip holding exactly one top-level directory unwraps to it
+        entries = os.listdir(target)
+        if len(entries) == 1 and os.path.isdir(os.path.join(target, entries[0])):
+            return os.path.join(target, entries[0])
+        return target
+    return local
+
+
 def normalize_ckpt_dir(ckpt_path: str) -> str:
     """Accept either a run workdir or its ``checkpoints`` subdir."""
     sub = os.path.join(ckpt_path, "checkpoints")
@@ -133,8 +190,11 @@ def build_test_config(argv, dataset: str, default_usr: str):
     introspect = introspect or visualize
     if ckpt is None:
         raise SystemExit(
-            f"usage: test_{dataset} ckpt=<run or checkpoints dir> [overrides]"
+            f"usage: test_{dataset} ckpt=<run or checkpoints dir, file://, "
+            "http(s)://, wandb:// URI, or a reference checkpoint.pt> "
+            "[overrides]"
         )
+    ckpt = resolve_ckpt_uri(ckpt)
     run_cfg_path, _ = resurrect_run_config(ckpt)
     ckpt = normalize_ckpt_dir(ckpt)
     explicit_usr = any(a.startswith("usr_config=") for a in rest)

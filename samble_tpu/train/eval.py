@@ -53,13 +53,62 @@ def _make_introspect_step(model_eval, task: str):
     return jax.jit(step)
 
 
-def _restore(cfg, model, example, ckpt_dir: str, rng):
+def _restore(cfg, model, example, ckpt_dir: str, rng, task: str):
     tx = make_optimizer(cfg.train, steps_per_epoch=1)
     template = create_train_state(model, example, tx, rng)
+    if os.path.isfile(ckpt_dir) and ckpt_dir.endswith(".pt"):
+        # a reference torch checkpoint (train_modelnet.py:491-509 format):
+        # import weights + bin boundaries in place of the Orbax restore
+        return _graft_torch_checkpoint(template, cfg, ckpt_dir, task)
     mgr = CheckpointManager(ckpt_dir)
     state = mgr.restore(template)
     mgr.close()
     return state
+
+
+def _graft_torch_checkpoint(template, cfg, path: str, task: str):
+    """Replace the template's model variables with a converted reference
+    torch checkpoint (samble_tpu.interop); optimizer state stays fresh —
+    the reference saves none (SURVEY.md §5 checkpointing)."""
+    from samble_tpu import interop
+
+    imported = interop.load_torch_checkpoint(path, cfg, task)
+
+    def _check(name, tmpl, got):
+        t_paths = {
+            tuple(str(k.key) for k in p): np.shape(l)
+            for p, l in jax.tree_util.tree_flatten_with_path(tmpl)[0]
+        }
+        g_paths = {
+            tuple(str(k.key) for k in p): np.shape(l)
+            for p, l in jax.tree_util.tree_flatten_with_path(got)[0]
+        }
+        if t_paths != g_paths:
+            missing = set(t_paths) - set(g_paths)
+            extra = set(g_paths) - set(t_paths)
+            shapes = {
+                k for k in set(t_paths) & set(g_paths)
+                if t_paths[k] != g_paths[k]
+            }
+            raise ValueError(
+                f"torch checkpoint does not match this config's {name} tree: "
+                f"missing={sorted(missing)[:5]} extra={sorted(extra)[:5]} "
+                f"shape-mismatch={sorted(shapes)[:5]}"
+            )
+
+    as_f32 = lambda tree: jax.tree_util.tree_map(jnp.asarray, tree)
+    _check("params", template.params, imported["params"])
+    kwargs = {"params": as_f32(imported["params"])}
+    if template.batch_stats is not None:
+        _check("batch_stats", template.batch_stats, imported["batch_stats"])
+        kwargs["batch_stats"] = as_f32(imported["batch_stats"])
+    if template.bin_stats is not None and "bin_stats" in imported:
+        _check("bin_stats", template.bin_stats, imported["bin_stats"])
+        kwargs["bin_stats"] = jax.tree_util.tree_map(
+            lambda t, g: jnp.asarray(g, jnp.asarray(t).dtype),
+            template.bin_stats, imported["bin_stats"],
+        )
+    return template.replace(**kwargs)
 
 
 def evaluate_modelnet(
@@ -80,7 +129,8 @@ def evaluate_modelnet(
     model_train = ClsModel(cfg=cfg, num_classes=40, train=True)
     model_eval = ClsModel(cfg=cfg, num_classes=40, train=False)
     example = (np.zeros((bs, n_sel, 3), np.float32),)
-    state = _restore(cfg, model_train, example, ckpt_dir, jax.random.key(0))
+    state = _restore(cfg, model_train, example, ckpt_dir, jax.random.key(0),
+                     "cls")
 
     vote_cfg = dl.get("vote")
     use_vote = vote_cfg is not None and bool(vote_cfg.enable)
@@ -144,7 +194,8 @@ def evaluate_shapenet(
     example = (
         np.zeros((bs, n_sel, 3), np.float32), np.zeros((bs, 16), np.float32),
     )
-    state = _restore(cfg, model_train, example, ckpt_dir, jax.random.key(0))
+    state = _restore(cfg, model_train, example, ckpt_dir, jax.random.key(0),
+                     "seg")
 
     parts_mask = metrics_mod.parts_matrix(cfg.datasets.mapping)
     shape_iou_fn = jax.jit(lambda p, l, c: metrics_mod.shape_iou(p, l, c, parts_mask))
