@@ -398,5 +398,5 @@ def fps(key: jax.Array, x: jax.Array, xyz: jax.Array, npoint: int):
     :returns: ``(x_ds (B, npoint, C), idx (B, npoint))``
     """
     idx = farthest_point_sample(key, xyz, npoint)
-    x_ds = jax.vmap(lambda p, i: p[i])(x, idx)
+    x_ds = jnp.take_along_axis(x, idx[..., None], axis=1)
     return x_ds, idx
