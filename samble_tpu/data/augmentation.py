@@ -53,13 +53,18 @@ def translate(
     key: jax.Array, pcd: jax.Array,
     x_range=( -0.2, 0.2), y_range=(-0.2, 0.2), z_range=(-0.2, 0.2),
 ):
-    """Uniform global translation (data_augmentation.py:38-53)."""
+    """Uniform global translation (data_augmentation.py:38-53).
+
+    With a 6-channel cloud the normal half is left untouched (the
+    reference's ``normal_channel`` branch)."""
     kx, ky, kz = jax.random.split(key, 3)
     t = jnp.stack([
         jax.random.uniform(kx, (), minval=x_range[0], maxval=x_range[1]),
         jax.random.uniform(ky, (), minval=y_range[0], maxval=y_range[1]),
         jax.random.uniform(kz, (), minval=z_range[0], maxval=z_range[1]),
     ])
+    if pcd.shape[-1] == 6:
+        return jnp.concatenate([pcd[:, :3] + t, pcd[:, 3:]], axis=-1)
     return pcd + t
 
 
@@ -68,12 +73,22 @@ def anisotropic_scale(
     x_range=(0.66, 1.5), y_range=(0.66, 1.5), z_range=(0.66, 1.5),
     isotropic: bool = False,
 ):
-    """Per-axis (or isotropic) scaling (data_augmentation.py:56-76)."""
+    """Per-axis (or isotropic) scaling (data_augmentation.py:56-76).
+
+    With a 6-channel cloud, scaling applies to xyz only and must be
+    isotropic (the reference's assert, data_augmentation.py:69)."""
     kx, ky, kz = jax.random.split(key, 3)
     sx = jax.random.uniform(kx, (), minval=x_range[0], maxval=x_range[1])
     sy = jax.random.uniform(ky, (), minval=y_range[0], maxval=y_range[1])
     sz = jax.random.uniform(kz, (), minval=z_range[0], maxval=z_range[1])
     scale = jnp.where(isotropic, jnp.stack([sx, sx, sx]), jnp.stack([sx, sy, sz]))
+    if pcd.shape[-1] == 6:
+        if not isotropic:
+            raise ValueError(
+                "Normal channel only supports isotropic scaling "
+                "(reference data_augmentation.py:69)"
+            )
+        return jnp.concatenate([pcd[:, :3] * scale, pcd[:, 3:]], axis=-1)
     return pcd * scale
 
 
@@ -116,43 +131,64 @@ def rotate_with_normal(key: jax.Array, pcd_normal: jax.Array, angle_range=None):
 
 
 def make_batch_augment(aug_cfg: Any) -> Callable[[jax.Array, jax.Array], jax.Array]:
-    """Build ``augment(key, batch (B,N,3)) -> (B,N,3)`` from the config node
+    """Build ``augment(key, batch (B,N,C)) -> (B,N,C)`` from the config node
     ``train.dataloader.data_augmentation``.
+
+    The transform set adapts to the cloud's channel count at trace time:
+    6-channel (xyz+normal) clouds rotate with :func:`rotate_with_normal`,
+    gain the ``rotate_perturbation`` branch (reference schema
+    configs/default.yaml:77-80, "only for datasets with normal"), and
+    translate/scale leave the normal half invariant.
 
     Vote/TTA reuses ``anisotropic_scale`` alone (utils/dataloader.py:106-114),
     via :func:`make_vote_augment`.
     """
-    fns: List[Callable] = []
-    if aug_cfg.jitter.enable:
-        std, clip = float(aug_cfg.jitter.std), float(aug_cfg.jitter.clip)
-        fns.append(lambda k, p: jitter(k, p, std, clip))
-    if aug_cfg.rotate.enable:
-        axis = str(aug_cfg.rotate.which_axis)
-        rng_ = tuple(aug_cfg.rotate.angle_range)
-        fns.append(lambda k, p: rotate(k, p, axis, rng_))
-    if aug_cfg.translate.enable:
-        xr = tuple(aug_cfg.translate.x_range)
-        yr = tuple(aug_cfg.translate.y_range)
-        zr = tuple(aug_cfg.translate.z_range)
-        fns.append(lambda k, p: translate(k, p, xr, yr, zr))
-    if aug_cfg.anisotropic_scale.enable:
-        xr = tuple(aug_cfg.anisotropic_scale.x_range)
-        yr = tuple(aug_cfg.anisotropic_scale.y_range)
-        zr = tuple(aug_cfg.anisotropic_scale.z_range)
-        iso = bool(aug_cfg.anisotropic_scale.isotropic)
-        fns.append(lambda k, p: anisotropic_scale(k, p, xr, yr, zr, iso))
-    if not fns:
+
+    def build_fns(normal_channel: bool) -> List[Callable]:
+        fns: List[Callable] = []
+        if aug_cfg.jitter.enable:
+            std, clip = float(aug_cfg.jitter.std), float(aug_cfg.jitter.clip)
+            fns.append(lambda k, p: jitter(k, p, std, clip))
+        if aug_cfg.rotate.enable:
+            axis = str(aug_cfg.rotate.which_axis)
+            rng_ = tuple(aug_cfg.rotate.angle_range)
+            if normal_channel:
+                fns.append(lambda k, p: rotate_with_normal(k, p, rng_))
+            else:
+                fns.append(lambda k, p: rotate(k, p, axis, rng_))
+        rp = aug_cfg.get("rotate_perturbation")
+        if normal_channel and rp is not None and rp.enable:
+            std_, clip_ = float(rp.std), float(rp.clip)
+            fns.append(
+                lambda k, p: rotate_perturbation_with_normal(k, p, std_, clip_)
+            )
+        if aug_cfg.translate.enable:
+            xr = tuple(aug_cfg.translate.x_range)
+            yr = tuple(aug_cfg.translate.y_range)
+            zr = tuple(aug_cfg.translate.z_range)
+            fns.append(lambda k, p: translate(k, p, xr, yr, zr))
+        if aug_cfg.anisotropic_scale.enable:
+            xr = tuple(aug_cfg.anisotropic_scale.x_range)
+            yr = tuple(aug_cfg.anisotropic_scale.y_range)
+            zr = tuple(aug_cfg.anisotropic_scale.z_range)
+            iso = bool(aug_cfg.anisotropic_scale.isotropic)
+            fns.append(lambda k, p: anisotropic_scale(k, p, xr, yr, zr, iso))
+        return fns
+
+    if not build_fns(False):
         raise ValueError("At least one augmentation must be enabled!")
     num_aug = int(aug_cfg.num_aug)
-    if num_aug > len(fns):
+    if num_aug > len(build_fns(False)):
         raise ValueError(
-            f"num_aug ({num_aug}) exceeds enabled augmentations ({len(fns)})"
+            f"num_aug ({num_aug}) exceeds enabled augmentations "
+            f"({len(build_fns(False))})"
         )
-    n_fns = len(fns)
-    identity = lambda k, p: p
-    branches = [lambda k, p, f=f: f(k, p) for f in fns] + [identity]
 
     def augment_one(key: jax.Array, pcd: jax.Array) -> jax.Array:
+        fns = build_fns(pcd.shape[-1] == 6)
+        n_fns = len(fns)
+        identity = lambda k, p: p
+        branches = [lambda k, p, f=f: f(k, p) for f in fns] + [identity]
         perm_key, *apply_keys = jax.random.split(key, num_aug + 1)
         choice = jax.random.permutation(perm_key, n_fns)[:num_aug]
         for slot in range(num_aug):

@@ -136,21 +136,42 @@ class ShapeNetDataset:
         return self.label.shape[0]
 
 
+def _synthetic_normals(rng, pts: np.ndarray) -> np.ndarray:
+    """Unit surface-normal stand-ins: radial direction from the cloud
+    centroid, slightly perturbed (the reference keeps a normal-channel
+    dataset option alive via ``shapenet_Normal`` / ``normal_channel``,
+    utils/check_config.py:108-124, but ships no loader for it)."""
+    d = pts - pts.mean(axis=0, keepdims=True)
+    d = d + 0.05 * rng.normal(size=d.shape)
+    return (d / (np.linalg.norm(d, axis=-1, keepdims=True) + 1e-8)).astype(
+        np.float32
+    )
+
+
 def synthetic_modelnet(
-    num_samples: int, num_points: int = 2048, num_classes: int = 40, seed: int = 0
+    num_samples: int, num_points: int = 2048, num_classes: int = 40,
+    seed: int = 0, with_normals: bool = False,
 ) -> ModelNetDataset:
     """Structured random clouds: class-conditioned ellipsoid mixtures so a
-    classifier can actually learn (used for tests/bench without network)."""
+    classifier can actually learn (used for tests/bench without network).
+    ``with_normals`` appends unit pseudo-normals → (N, 6) clouds."""
     rng = np.random.default_rng(seed)
     labels = rng.integers(0, num_classes, num_samples).astype(np.int32)
-    pcds = np.empty((num_samples, num_points, 3), np.float32)
+    pcds = np.empty((num_samples, num_points, 6 if with_normals else 3),
+                    np.float32)
     for i, c in enumerate(labels):
         crng = np.random.default_rng(1000 + int(c))
         centers = crng.uniform(-0.5, 0.5, (4, 3))
         scales = crng.uniform(0.1, 0.4, (4, 3))
         comp = rng.integers(0, 4, num_points)
         pts = centers[comp] + rng.normal(size=(num_points, 3)) * scales[comp]
-        pcds[i] = np.clip(pts, -1, 1).astype(np.float32)
+        pts = np.clip(pts, -1, 1).astype(np.float32)
+        if with_normals:
+            pcds[i] = np.concatenate(
+                [pts, _synthetic_normals(rng, pts)], axis=-1
+            )
+        else:
+            pcds[i] = pts
     return ModelNetDataset(pcds, labels)
 
 
@@ -160,8 +181,11 @@ def synthetic_shapenet(
     num_categories: int = 16,
     num_parts: int = 50,
     seed: int = 0,
+    with_normals: bool = False,
 ) -> ShapeNetDataset:
-    """Random clouds with geometry-correlated part labels (z-sliced)."""
+    """Random clouds with geometry-correlated part labels (z-sliced).
+    ``with_normals`` appends unit pseudo-normals → (N, 6) clouds (the
+    reference's ``shapenet_Normal`` dataset option)."""
     rng = np.random.default_rng(seed)
     labels = rng.integers(0, num_categories, num_samples).astype(np.int32)
     # parts per category mirroring the real 2-6 part counts
@@ -171,7 +195,8 @@ def synthetic_shapenet(
         [30, 31, 32, 33, 34, 35], [36, 37], [38, 39, 40], [41, 42, 43],
         [44, 45, 46], [47, 48, 49],
     ]
-    pcds = np.empty((num_samples, num_points, 3), np.float32)
+    pcds = np.empty((num_samples, num_points, 6 if with_normals else 3),
+                    np.float32)
     segs = np.empty((num_samples, num_points), np.int32)
     for i, c in enumerate(labels):
         pts = rng.uniform(-1, 1, (num_points, 3)).astype(np.float32)
@@ -179,5 +204,10 @@ def synthetic_shapenet(
         z = pts[:, 2]
         bins = np.quantile(z, np.linspace(0, 1, len(parts) + 1)[1:-1])
         segs[i] = np.asarray(parts, np.int32)[np.digitize(z, bins)]
-        pcds[i] = pts
+        if with_normals:
+            pcds[i] = np.concatenate(
+                [pts, _synthetic_normals(rng, pts)], axis=-1
+            )
+        else:
+            pcds[i] = pts
     return ShapeNetDataset(pcds, labels, segs)

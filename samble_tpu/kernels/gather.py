@@ -69,14 +69,14 @@ def _scatter_kernel(g_ref, idx_ref, out_ref, *, knn_k: int):
     def _init():
         out_ref[0] = jnp.zeros_like(out_ref[0])
 
-    acc = jnp.zeros_like(out_ref[0], dtype=jnp.float32)
+    # accumulate through VMEM each round: a (N, C) f32 register accumulator
+    # live across the whole K loop spills; VMEM read-modify-write is cheap
     for k in range(knn_k):
         onehot = (col == idx[:, k][:, None]).astype(g_ref.dtype)
-        acc += jax.lax.dot_general(
+        out_ref[0] += jax.lax.dot_general(
             onehot, g_ref[0, k], (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )
-    out_ref[0] += acc.astype(out_ref.dtype)
+        ).astype(out_ref.dtype)
 
 
 def gather_neighbors_kfirst(w, idx, interpret: bool = False):

@@ -39,7 +39,7 @@ class ClsFeatureBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array):
         blk = self.cfg
-        x_xyz = x  # (B, N, 3)
+        x_xyz = x[..., :3]  # (B, N, 3); drops normals on 6-channel input
 
         emb_outs = []
         for layer in range(len(blk.embedding.K)):

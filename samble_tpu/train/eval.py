@@ -128,7 +128,9 @@ def evaluate_modelnet(
     mesh = make_mesh()
     model_train = ClsModel(cfg=cfg, num_classes=40, train=True)
     model_eval = ClsModel(cfg=cfg, num_classes=40, train=False)
-    example = (np.zeros((bs, n_sel, 3), np.float32),)
+    in_ch = 6 if cfg.select(
+        "feature_learning_block.embedding.normal_channel", False) else 3
+    example = (np.zeros((bs, n_sel, in_ch), np.float32),)
     state = _restore(cfg, model_train, example, ckpt_dir, jax.random.key(0),
                      "cls")
 
@@ -192,7 +194,10 @@ def evaluate_shapenet(
     model_train = SegModel(cfg=cfg, num_parts=50, train=True)
     model_eval = SegModel(cfg=cfg, num_parts=50, train=False)
     example = (
-        np.zeros((bs, n_sel, 3), np.float32), np.zeros((bs, 16), np.float32),
+        np.zeros((bs, n_sel, 6 if cfg.select(
+            "feature_learning_block.embedding.normal_channel", False) else 3),
+            np.float32),
+        np.zeros((bs, 16), np.float32),
     )
     state = _restore(cfg, model_train, example, ckpt_dir, jax.random.key(0),
                      "seg")

@@ -60,15 +60,25 @@ def _seed_from_config(cfg) -> int:
     seed = int(cfg.select("train.ddp.random_seed", 0) or 0)
     if seed == 0:
         seed = int(time.time()) % (2**31)
+    # always surface the effective value: with the reference's seed-0 →
+    # wall-clock convention, reproducing a run depends on this line
+    print(f"[run] effective random seed: {seed}", flush=True)
     return seed
+
+
+def _normal_channel(cfg) -> bool:
+    return bool(
+        cfg.select("feature_learning_block.embedding.normal_channel", False)
+    )
 
 
 def _load_modelnet(cfg, synthetic: bool):
     dl = cfg.train.dataloader
     if synthetic:
+        nc = _normal_channel(cfg)
         return (
-            synthetic_modelnet(256, num_points=2048),
-            synthetic_modelnet(64, num_points=2048, seed=1),
+            synthetic_modelnet(256, num_points=2048, with_normals=nc),
+            synthetic_modelnet(64, num_points=2048, seed=1, with_normals=nc),
         )
     saved = cfg.datasets.saved_path
     try:
@@ -84,9 +94,10 @@ def _load_modelnet(cfg, synthetic: bool):
 def _load_shapenet(cfg, synthetic: bool):
     dl = cfg.train.dataloader
     if synthetic:
+        nc = _normal_channel(cfg)
         return (
-            synthetic_shapenet(256, num_points=2048),
-            synthetic_shapenet(64, num_points=2048, seed=1),
+            synthetic_shapenet(256, num_points=2048, with_normals=nc),
+            synthetic_shapenet(64, num_points=2048, seed=1, with_normals=nc),
         )
     saved = cfg.datasets.saved_path
     try:
@@ -150,7 +161,8 @@ def train_modelnet(
     model = ClsModel(cfg=cfg, num_classes=40, train=True, dtype=dtype)
     model_eval = ClsModel(cfg=cfg, num_classes=40, train=False, dtype=dtype)
     tx = make_optimizer(cfg.train, steps_per_epoch=len(train_loader))
-    example = (np.zeros((bs, int(dl.selected_points), 3), np.float32),)
+    in_ch = 6 if _normal_channel(cfg) else 3
+    example = (np.zeros((bs, int(dl.selected_points), in_ch), np.float32),)
     state = create_train_state(model, example, tx, rng)
     state = replicate_state(mesh, state)
 
@@ -292,7 +304,7 @@ def train_shapenet(
     model_eval = SegModel(cfg=cfg, num_parts=50, train=False, dtype=dtype)
     tx = make_optimizer(cfg.train, steps_per_epoch=len(train_loader))
     example = (
-        np.zeros((bs, n_sel, 3), np.float32),
+        np.zeros((bs, n_sel, 6 if _normal_channel(cfg) else 3), np.float32),
         np.zeros((bs, 16), np.float32),
     )
     state = create_train_state(model, example, tx, rng)
