@@ -32,6 +32,32 @@ def _tile_for(n: int) -> int:
     return 128 if n % 128 == 0 else (64 if n % 64 == 0 else n)
 
 
+def _sel_chunk(k0: int, ck: int, idx, n: int, dtype):
+    """(CK·TILE, M) k-major one-hot selection block: row ``k·TILE + t`` has
+    its single 1 at column ``idx[t, k0 + k]``.  Exactly one 1.0 per row →
+    the matmul against it is an exact selection in any float dtype.
+
+    Built as a 3-D iota compare + leading-dim collapse; Mosaic rejects the
+    1-D flatten of a transposed index vector (``tpu.reshape (16x128) →
+    (2048x1)`` fails infer-vector-layout)."""
+    tile = idx.shape[0]
+    idx_t = jnp.transpose(idx[:, k0:k0 + ck])  # (CK, TILE)
+    col = jax.lax.broadcasted_iota(jnp.int32, (ck, tile, n), 2)
+    sel = col == idx_t[:, :, None]  # (CK, TILE, M)
+    return sel.reshape(ck * tile, n).astype(dtype)
+
+
+def _chunk_of(knn_k: int, tile: int) -> int:
+    """Selection-chunk width: bound the (CK·TILE, M) one-hot block to ~2k
+    rows so the intermediate stays comfortably in VMEM while each matmul is
+    still big enough to fill the MXU (32 tiny K-loop matmuls measured ~2x
+    slower than 2-4 chunked ones at B=64, N=1024, K=32)."""
+    ck = max(1, 2048 // tile)
+    while knn_k % ck:
+        ck -= 1
+    return ck
+
+
 def _gather_kernel(w_ref, idx_ref, out_ref, *, knn_k: int):
     """out[0, k, t, :] = w[idx[t, k], :] for one (batch, row-tile) cell.
 
@@ -42,15 +68,15 @@ def _gather_kernel(w_ref, idx_ref, out_ref, *, knn_k: int):
     w = w_ref[0]
     idx = idx_ref[0]
     tile, n = idx.shape[0], w.shape[0]
-    col = jax.lax.broadcasted_iota(jnp.int32, (tile, n), 1)
-    for k in range(knn_k):
-        onehot = (col == idx[:, k][:, None]).astype(w.dtype)
-        # exactly one 1.0 per row -> the matmul is an exact selection in
-        # any float dtype (single-term sum; Mosaic requires a 32-bit acc)
-        out_ref[0, k] = jax.lax.dot_general(
-            onehot, w, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+    ck = _chunk_of(knn_k, tile)
+    c = w.shape[-1]
+    for k0 in range(0, knn_k, ck):
+        sel = _sel_chunk(k0, ck, idx, n, w.dtype)
+        out = jax.lax.dot_general(
+            sel, w, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,  # Mosaic needs 32-bit acc
         ).astype(out_ref.dtype)
+        out_ref[0, k0:k0 + ck] = out.reshape(ck, tile, c)
 
 
 def _scatter_kernel(g_ref, idx_ref, out_ref, *, knn_k: int):
@@ -58,23 +84,23 @@ def _scatter_kernel(g_ref, idx_ref, out_ref, *, knn_k: int):
 
     g_ref:   (1, K, TILE, C)
     idx_ref: (1, TILE, K)
-    out_ref: (1, N, C)  — accumulated across the row-tile grid axis (tiles
+    out_ref: (1, M, C)  — accumulated across the row-tile grid axis (tiles
              of one batch element run sequentially, so += is race-free)
     """
     idx = idx_ref[0]
     tile, n = idx.shape[0], out_ref.shape[1]
-    col = jax.lax.broadcasted_iota(jnp.int32, (tile, n), 1)
+    ck = _chunk_of(knn_k, tile)
+    c = g_ref.shape[-1]
 
     @pl.when(pl.program_id(1) == 0)
     def _init():
         out_ref[0] = jnp.zeros_like(out_ref[0])
 
-    # accumulate through VMEM each round: a (N, C) f32 register accumulator
-    # live across the whole K loop spills; VMEM read-modify-write is cheap
-    for k in range(knn_k):
-        onehot = (col == idx[:, k][:, None]).astype(g_ref.dtype)
+    for k0 in range(0, knn_k, ck):
+        sel = _sel_chunk(k0, ck, idx, n, g_ref.dtype)
+        g = g_ref[0, k0:k0 + ck].reshape(ck * tile, c)
         out_ref[0] += jax.lax.dot_general(
-            onehot, g_ref[0, k], (((0,), (0,)), ((), ())),
+            sel, g, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ).astype(out_ref.dtype)
 
@@ -172,6 +198,122 @@ def _scatter_bwd(m, interpret, idx, ct):
 
 
 scatter_neighbors_kfirst.defvjp(_scatter_fwd, _scatter_bwd)
+
+
+def _gather_knn_kernel(xa_ref, xb_ref, w_ref, out_ref, idx_ref,
+                       *, knn_k: int, idx_bits: int, m_valid: int):
+    """kNN-fused gather cell: the extraction one-hot IS the gather one-hot.
+
+    Per round, ``pool == kmin`` is the selected column's one-hot (packed
+    keys are unique, kernels/keys.py) — one matmul gathers that neighbor's
+    features, and the key's low bits are the neighbor index (emitted for
+    the backward scatter).  This folds the standalone kNN pass (~10 ms at
+    B=64, N=1024) into the gather.
+
+    xa_ref: (1, TILE, CX)  normalized kNN features, tile rows
+    xb_ref: (1, M, CX)     normalized kNN features, all rows
+    w_ref:  (1, M, C)      features to gather
+    out_ref: (1, K, TILE, C);  idx_ref: (1, TILE, K)
+    """
+    from samble_tpu.kernels import keys as keys_mod
+
+    w = w_ref[0]
+    tile = xa_ref.shape[1]
+    low_mask = (1 << idx_bits) - 1
+
+    pool0 = keys_mod.packed_key_tile(xa_ref[0], xb_ref[0], idx_bits, m_valid)
+
+    # partial unroll: full K unrolls blow Mosaic's compile budget at large
+    # N with wide live state (docs/kernels.md compiler lessons)
+    budget = max(1, (16 * 1024) // w.shape[0])
+    unroll = next(u for u in (8, 4, 2, 1) if u <= budget and knn_k % u == 0)
+
+    slot = jax.lax.broadcasted_iota(jnp.int32, (tile, knn_k), 1)
+
+    def round_(r, carry):
+        pool, idx_acc = carry
+        for i in range(unroll):
+            k = r * unroll + i  # traced; stores use pl.ds
+            kmin = jnp.min(pool, axis=1, keepdims=True)  # (TILE, 1)
+            onehot = pool == kmin
+            pool = jnp.where(onehot, keys_mod.INTMAX, pool)
+            sel = jax.lax.dot_general(
+                onehot.astype(w.dtype), w, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(out_ref.dtype)
+            out_ref[0, pl.ds(k, 1)] = sel[None]
+            idx_acc = jnp.where(slot == k, kmin & low_mask, idx_acc)
+        return pool, idx_acc
+
+    _, idx_acc = jax.lax.fori_loop(
+        0, knn_k // unroll, round_,
+        (pool0, jnp.zeros((tile, knn_k), jnp.int32)),
+    )
+    idx_ref[0] = idx_acc
+
+
+@functools.partial(jax.jit, static_argnames=("knn_k", "interpret"))
+def _gather_knn_pallas(w, xn, knn_k: int, interpret: bool = False):
+    bsz, n, c = w.shape
+    cx = xn.shape[-1]
+    xn = xn.astype(jnp.float32)
+    tile = _tile_for(n)
+    idx_bits = max(1, (((n + 127) // 128) * 128 - 1).bit_length())
+    grid = (bsz, n // tile)
+    return pl.pallas_call(
+        functools.partial(_gather_knn_kernel, knn_k=knn_k,
+                          idx_bits=idx_bits, m_valid=n),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, tile, cx), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, cx), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, c), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, knn_k, tile, c), lambda i, j: (i, 0, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, knn_k), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bsz, knn_k, n, c), w.dtype),
+            jax.ShapeDtypeStruct((bsz, n, knn_k), jnp.int32),
+        ],
+        interpret=interpret,
+    )(xn, xn, w)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def gather_knn_kfirst(w, xn, knn_k: int, interpret: bool = False):
+    """Self-kNN selection fused into the K-first gather.
+
+    :param w: (B, N, C) features to gather (differentiable)
+    :param xn: (B, N, CX) pre-normalized kNN features
+        (ops.neighbors.knn_normalized; gradient-stopped like all kNN
+        graphs, reference indices are integers)
+    :returns: ``(gathered (B, K, N, C), idx (B, N, K))`` — the same
+        neighbor sets as ``knn_pallas(xn, xn, k)`` (bit-identical packed
+        keys, kernels/keys.py)
+    """
+    return _gather_knn_pallas(w, xn, knn_k, interpret)
+
+
+def _gather_knn_fwd(w, xn, knn_k, interpret):
+    out, idx = _gather_knn_pallas(w, xn, knn_k, interpret)
+    return (out, idx), (idx, w.shape[1])
+
+
+def _gather_knn_bwd(knn_k, interpret, res, cts):
+    idx, m = res
+    g, _ = cts  # idx cotangent is zero (int output)
+    dw = _scatter_pallas(g.astype(jnp.float32), idx, m, interpret)
+    return dw.astype(g.dtype), None
+
+
+gather_knn_kfirst.defvjp(_gather_knn_fwd, _gather_knn_bwd)
 
 
 def gather_neighbors(w, idx, interpret: bool = False):

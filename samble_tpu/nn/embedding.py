@@ -124,23 +124,28 @@ class EdgeConv(nn.Module):
                 interpret=not kernels.use_pallas(),
             )
 
-        idx = ops.neighbors.knn_indices(x_knn, self.k)
         if kernels.use_pallas() and n >= 256 and self.impl != "gather":
             # Training path: BatchNorm needs the real (pair-level)
             # pre-activation statistics, so the grouped tensor must exist —
             # but XLA's serial gather is what made this path 10x slower
-            # than eval (docs/kernels.md).  The one-hot-matmul gather kernel
-            # (kernels/gather.py) materializes it K-first at MXU rate, and
-            # its VJP scatters gradients the same way; the BN/conv algebra
-            # is bitwise the layout-transposed twin of the axis-2 branch
-            # below (moments span all non-channel axes either way).
-            from samble_tpu.kernels.gather import gather_neighbors_kfirst
+            # than eval (docs/kernels.md).  gather_knn_kfirst fuses the kNN
+            # selection INTO the one-hot-matmul gather (the extraction
+            # compare is the gather one-hot; the packed key's low bits give
+            # the index output for the backward scatter), so the standalone
+            # kNN pass disappears; the BN/conv algebra is bitwise the
+            # layout-transposed twin of the axis-2 branch below (moments
+            # span all non-channel axes either way).
+            from samble_tpu.kernels.gather import gather_knn_kfirst
 
-            g = u[:, None] + gather_neighbors_kfirst(w, idx)  # (B, K, N, C1)
+            w_nb, _ = gather_knn_kfirst(
+                w, ops.neighbors.knn_normalized(x_knn), self.k
+            )  # (B, K, N, C1)
+            g = u[:, None] + w_nb
             g = bn1(g)
             g = leaky_relu(g)
             g = cbl(g)
             return jnp.max(g, axis=1)  # (B, N, conv2_out)
+        idx = ops.neighbors.knn_indices(x_knn, self.k)
         g = u[:, :, None] + ops.index_points(w, idx)  # (B, N, K, conv1_out)
         g = bn1(g)
         g = leaky_relu(g)

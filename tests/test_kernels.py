@@ -388,3 +388,37 @@ class TestGatherScatter:
                 np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6),
             g_k, g_ref,
         )
+
+    def test_gather_knn_fused_matches_split(self):
+        """gather_knn_kfirst == knn_pallas + gather_neighbors_kfirst
+        (bit-identical neighbor sets via packed keys) + VJP equivalence."""
+        from samble_tpu.kernels.gather import (
+            gather_knn_kfirst, gather_neighbors_kfirst,
+        )
+        from samble_tpu.ops import neighbors as nbr
+
+        rng = np.random.default_rng(35)
+        b, n, k, c = 2, 128, 8, 16
+        x = jnp.asarray(rng.normal(size=(b, n, 5)), jnp.float32)
+        w = jnp.asarray(rng.normal(size=(b, n, c)), jnp.float32)
+        xn = nbr.knn_normalized(x)
+        _, idx_ref = knn_pallas(xn, xn, k, interpret=True)
+
+        got, idx = gather_knn_kfirst(w, xn, k, True)
+        np.testing.assert_array_equal(np.asarray(idx), np.asarray(idx_ref))
+        want = gather_neighbors_kfirst(w, idx_ref, interpret=True)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+        def loss_fused(w):
+            g, _ = gather_knn_kfirst(w, xn, k, True)
+            return jnp.sum(jnp.sin(g))
+
+        def loss_split(w):
+            g = gather_neighbors_kfirst(w, idx_ref, interpret=True)
+            return jnp.sum(jnp.sin(g))
+
+        np.testing.assert_allclose(
+            np.asarray(jax.grad(loss_fused)(w)),
+            np.asarray(jax.grad(loss_split)(w)),
+            rtol=1e-5, atol=1e-6,
+        )
