@@ -62,6 +62,8 @@ def build_config(argv: Optional[List[str]], dataset: str, default_usr: str):
                 "resume with a fresh config)"
             )
         cfg = build_config_from_run(run_cfg_path, overrides)
+        # run-level flags saved by the training loop ride along on resume
+        synthetic = synthetic or bool(cfg.select("run.synthetic_data", False))
         return cfg, workdir, synthetic, resume
 
     usr = specials.get("usr_config", os.path.join(CONFIG_DIR, default_usr))
@@ -204,6 +206,7 @@ def build_test_config(argv, dataset: str, default_usr: str):
         overrides = [a for a in rest if a not in specials]
         cfg = build_config_from_run(run_cfg_path, overrides)
         _, workdir, synthetic, _ = build_config(specials, dataset, default_usr)
+        synthetic = synthetic or bool(cfg.select("run.synthetic_data", False))
     else:
         cfg, workdir, synthetic, _ = build_config(rest, dataset, default_usr)
     return cfg, ckpt, workdir, synthetic, introspect, visualize

@@ -133,10 +133,25 @@ def index_points(points: jax.Array, idx: jax.Array) -> jax.Array:
     Lowering note: ``take_along_axis`` compiles to a TPU gather that runs
     ~7.5x faster than the batched fancy-index form (``vmap(lambda p, i:
     p[i])``) at training shapes — measured 24.6 vs 184.5 ms for
-    (64, 1024, 32) of 64 channels on a v5e.
+    (64, 1024, 32) of 64 channels on a v5e — and its *backward* is a still
+    slower XLA scatter-add.  On TPU at (B, R, K) index shapes the one-hot
+    matmul kernel (kernels/gather.py) replaces both directions.
     """
     b = points.shape[0]
     c = points.shape[-1]
+    if idx.ndim == 3:
+        from samble_tpu import kernels
+
+        rows, k = idx.shape[1], idx.shape[2]
+        if (
+            kernels.use_pallas()
+            and rows >= 256
+            and points.shape[1] >= 256
+            and k <= 128
+        ):
+            from samble_tpu.kernels.gather import gather_neighbors
+
+            return gather_neighbors(points, idx)
     flat = idx.reshape(b, -1)
     out = jnp.take_along_axis(points, flat[..., None], axis=1)
     return out.reshape(*idx.shape, c)

@@ -177,6 +177,10 @@ def train_modelnet(
             model_eval, "cls", int(vote_cfg.num_vote), make_vote_augment(aug_cfg)
         )
 
+    # record run-level flags in run_config.json so resume/eval with
+    # ckpt=/workdir= alone reconstructs them (synthetic_data is a CLI
+    # special, not a model-config key)
+    cfg.set_dotted("run.synthetic_data", bool(synthetic_data))
     logger = MetricLogger(workdir, cfg)
     ckpt = CheckpointManager(os.path.join(workdir, "checkpoints"))
     if not resume:
@@ -326,6 +330,10 @@ def train_shapenet(
         lambda p, l, c: metrics_mod.shape_iou(p, l, c, parts_mask)
     )
 
+    # record run-level flags in run_config.json so resume/eval with
+    # ckpt=/workdir= alone reconstructs them (synthetic_data is a CLI
+    # special, not a model-config key)
+    cfg.set_dotted("run.synthetic_data", bool(synthetic_data))
     logger = MetricLogger(workdir, cfg)
     ckpt = CheckpointManager(os.path.join(workdir, "checkpoints"))
     if not resume:
