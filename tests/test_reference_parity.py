@@ -551,3 +551,208 @@ def test_cls_import_covers_full_tree():
         )[0]
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Remaining module families: P2P attention, APES local/global downsamplers,
+# crossA / selfA upsamplers  (models/attention.py:253-355,
+# models/downsample.py:818-1405, models/upsample.py:8-133)
+# ---------------------------------------------------------------------------
+
+def _qkv_tree(sd, with_skip=False):
+    """q/k/v(-skip) conv stacks → our Conv1x1_0..N numbering."""
+    p = {
+        "Conv1x1_0": {"Dense_0": {"kernel": interop.conv_kernel(sd["q_conv.weight"])}},
+        "Conv1x1_1": {"Dense_0": {"kernel": interop.conv_kernel(sd["k_conv.weight"])}},
+        "Conv1x1_2": {"Dense_0": {"kernel": interop.conv_kernel(sd["v_conv.weight"])}},
+    }
+    if with_skip:
+        p["Conv1x1_3"] = {
+            "Dense_0": {"kernel": interop.conv_kernel(sd["skip_link.weight"])}
+        }
+    return p
+
+
+def test_p2p_attention_matches_reference():
+    from samble_tpu.nn.attention import Point2PointAttention
+
+    rng = _seed_all(20)
+    for asm in ("dot", "l2", "l2+"):
+        tmod = ref_attention.Point2PointAttention(_p2p_cfg(asm), 0)
+        _randomize_bn_stats(tmod, rng)
+        tmod.eval()
+        x = rng.standard_normal((2, 40, 32)).astype(np.float32)
+        with torch.no_grad():
+            t_out = tmod(torch.from_numpy(x.transpose(0, 2, 1)))
+        p, s = interop.attention_tree(tmod.state_dict(), "")
+        jmod = Point2PointAttention(
+            num_heads=4, asm=asm, q_out=32, k_out=32, v_out=32,
+            ff_hidden=64, ff_out=32, train=False,
+        )
+        j_out = jmod.apply({"params": p, "batch_stats": s}, jnp.asarray(x))
+        _assert_close(np.moveaxis(np.asarray(j_out), -1, 1), t_out.numpy(),
+                      rtol=5e-4, atol=5e-5, what=f"P2P asm={asm}")
+
+
+def _p2p_cfg(asm, c=32, heads=4):
+    from samble_tpu.config.loader import Config
+
+    return Config({
+        "num_heads": [heads], "attention_mode": ["scalar_dot"], "asm": [asm],
+        "q_in": [c], "q_out": [c], "k_in": [c], "k_out": [c],
+        "v_in": [c], "v_out": [c],
+        "ff_conv1_channels_in": [c], "ff_conv1_channels_out": [2 * c],
+        "ff_conv2_channels_in": [2 * c], "ff_conv2_channels_out": [c],
+    })
+
+
+def _apes_ds_cfg(m=24, c=32, idx_mode="sparse_col_sqr", asm="dot"):
+    from samble_tpu.config.loader import Config
+
+    return Config({
+        "M": [m], "K": 32, "asm": [asm],
+        "res": {"enable": [False], "ff": [False]},
+        "num_heads": [1], "idx_mode": [idx_mode],
+        "q_in": [c], "q_out": [c], "k_in": [c], "k_out": [c],
+        "v_in": [c], "v_out": [c],
+        "bin": {"num_bins": [6], "scaling_factor": [1.0],
+                "sample_mode": ["topk"], "norm_mode": ["minmax"]},
+        "boltzmann": {"enable": [False], "boltzmann_T": [0.1],
+                      "norm_mode": ["minmax"]},
+        "pe": {"enable": [False], "mode": ["III"]},
+    })
+
+
+@pytest.mark.parametrize("idx_mode", ["local_std", "sparse_col_sqr",
+                                      "sparse_col_sum", "sparse_col_avg"])
+def test_downsample_local_matches_reference(idx_mode):
+    from samble_tpu.nn.downsample import DownSampleLocal
+
+    rng = _seed_all(21)
+    tmod = ref_downsample.DownSampleLocal(_apes_ds_cfg(idx_mode=idx_mode), 0)
+    tmod.eval()
+    # K is hardcoded to 32 in the reference (models/downsample.py:836);
+    # use N > K for meaningful neighborhoods
+    x = rng.standard_normal((2, 48, 32)).astype(np.float32)
+    with torch.no_grad():
+        (t_xds, t_idx), (t_xdrop, t_idxdrop) = tmod(
+            torch.from_numpy(x.transpose(0, 2, 1))
+        )
+    jmod = DownSampleLocal(
+        m=24, num_heads=1, asm="dot", idx_mode=idx_mode,
+        q_out=32, k_out=32, v_out=32, k=32, train=False,
+    )
+    p = _qkv_tree(tmod.state_dict())
+    j_xds, j_idx, (j_xdrop, j_idxdrop), aux = jmod.apply(
+        {"params": p}, jnp.asarray(x)
+    )
+    np.testing.assert_array_equal(np.asarray(j_idx), t_idx[:, 0].numpy(),
+                                  err_msg="selected idx")
+    np.testing.assert_array_equal(
+        np.asarray(j_idxdrop), t_idxdrop[:, 0].numpy(), err_msg="dropped idx"
+    )
+    _assert_close(np.moveaxis(np.asarray(j_xds), -1, 1), t_xds.numpy(),
+                  rtol=5e-4, atol=5e-5, what="local x_ds")
+    _assert_close(np.moveaxis(np.asarray(j_xdrop), -1, 1), t_xdrop.numpy(),
+                  rtol=5e-4, atol=5e-5, what="local x_dropped")
+
+
+@pytest.mark.parametrize("idx_mode", ["col_sum", "sparse_col_sqr",
+                                      "sparse_col_sum_sqr"])
+def test_downsample_global_matches_reference(idx_mode):
+    from samble_tpu.nn.downsample import DownSampleGlobal
+
+    rng = _seed_all(22)
+    tmod = ref_downsample.DownSampleGlobal(_apes_ds_cfg(idx_mode=idx_mode), 0)
+    tmod.eval()
+    x = rng.standard_normal((2, 48, 32)).astype(np.float32)
+    with torch.no_grad():
+        (t_xds, t_idx), (t_xdrop, t_idxdrop) = tmod(
+            torch.from_numpy(x.transpose(0, 2, 1))
+        )
+    jmod = DownSampleGlobal(
+        m=24, num_heads=1, asm="dot", idx_mode=idx_mode,
+        q_out=32, k_out=32, v_out=32, k=32, train=False,
+    )
+    p = _qkv_tree(tmod.state_dict())
+    j_xds, j_idx, (j_xdrop, j_idxdrop), aux = jmod.apply(
+        {"params": p}, jnp.asarray(x)
+    )
+    np.testing.assert_array_equal(np.asarray(j_idx), t_idx[:, 0].numpy(),
+                                  err_msg="selected idx")
+    np.testing.assert_array_equal(
+        np.asarray(j_idxdrop), t_idxdrop[:, 0].numpy(), err_msg="dropped idx"
+    )
+    _assert_close(np.moveaxis(np.asarray(j_xds), -1, 1), t_xds.numpy(),
+                  rtol=5e-4, atol=5e-5, what="global x_ds")
+    _assert_close(np.moveaxis(np.asarray(j_xdrop), -1, 1), t_xdrop.numpy(),
+                  rtol=5e-4, atol=5e-5, what="global x_dropped")
+
+
+def _us_cfg(c=32, heads=4):
+    from samble_tpu.config.loader import Config
+
+    return Config({
+        "q_in": [c], "q_out": [c], "k_in": [c], "k_out": [c],
+        "v_in": [c], "v_out": [c], "num_heads": [heads],
+        "interpolation": {"distance_type": ["xyz"], "K": [3]},
+    })
+
+
+def test_upsample_crossa_matches_reference():
+    import models.upsample as ref_upsample
+    from samble_tpu.nn.upsample import UpSampleCrossAttention
+
+    rng = _seed_all(23)
+    tmod = ref_upsample.UpSample(_us_cfg(), 0)
+    tmod.eval()
+    up = rng.standard_normal((2, 48, 32)).astype(np.float32)
+    sel = rng.standard_normal((2, 24, 32)).astype(np.float32)
+    with torch.no_grad():
+        t_out = tmod(
+            torch.from_numpy(up.transpose(0, 2, 1)),
+            ((torch.from_numpy(sel.transpose(0, 2, 1)), None, None),
+             (None, None)),
+            None,
+        )
+    jmod = UpSampleCrossAttention(num_heads=4, q_out=32, k_out=32, v_out=32,
+                                  train=False)
+    p = _qkv_tree(tmod.state_dict(), with_skip=True)
+    j_out = jmod.apply({"params": p}, jnp.asarray(up), jnp.asarray(sel))
+    _assert_close(np.moveaxis(np.asarray(j_out), -1, 1), t_out.numpy(),
+                  rtol=5e-4, atol=5e-5, what="crossA out")
+
+
+def test_upsample_selfa_matches_reference():
+    import models.upsample as ref_upsample
+    from samble_tpu.nn.upsample import UpSampleSelfAttention
+
+    rng = _seed_all(24)
+    tmod = ref_upsample.UpSampleSelfAttention(_us_cfg(), 0)
+    tmod.eval()
+    n, m = 48, 24
+    up = rng.standard_normal((2, n, 32)).astype(np.float32)
+    sel = rng.standard_normal((2, m, 32)).astype(np.float32)
+    drop = rng.standard_normal((2, n - m, 32)).astype(np.float32)
+    perm = np.stack([rng.permutation(n) for _ in range(2)]).astype(np.int64)
+    idx_sel, idx_drop = perm[:, :m], perm[:, m:]
+    with torch.no_grad():
+        t_out = tmod(
+            torch.from_numpy(up.transpose(0, 2, 1)),
+            ((torch.from_numpy(sel.transpose(0, 2, 1)),
+              torch.from_numpy(idx_sel[:, None, :]), None),
+             (torch.from_numpy(drop.transpose(0, 2, 1)),
+              torch.from_numpy(idx_drop[:, None, :]))),
+            None,
+        )
+    jmod = UpSampleSelfAttention(num_heads=4, q_out=32, k_out=32, v_out=32,
+                                 train=False)
+    p = _qkv_tree(tmod.state_dict(), with_skip=True)
+    j_out = jmod.apply(
+        {"params": p}, jnp.asarray(up), jnp.asarray(sel),
+        idx_select=jnp.asarray(idx_sel.astype(np.int32)),
+        points_drop=jnp.asarray(drop),
+        idx_drop=jnp.asarray(idx_drop.astype(np.int32)),
+    )
+    _assert_close(np.moveaxis(np.asarray(j_out), -1, 1), t_out.numpy(),
+                  rtol=5e-4, atol=5e-5, what="selfA out")
