@@ -143,10 +143,16 @@ def train_modelnet(
         if use_fps
         else None
     )
-    train_loader = BatchLoader(
+    # training batches come from the native C++ producer when buildable
+    # (samble_tpu/native: shuffling + subsampling off the Python thread,
+    # double-buffered); numpy BatchLoader otherwise.  Validation stays on
+    # the deterministic numpy loader.
+    from samble_tpu.native import make_train_loader
+
+    train_loader = make_train_loader(
         train_set.pcd, train_set.label, batch_size=bs,
-        selected_points=loader_sel, shuffle=True,
-        drop_last=True, seed=seed,
+        selected_points=loader_sel, shuffle=True, drop_last=True, seed=seed,
+        native=str(cfg.select("train.dataloader.native", "auto")),
     )
     val_loader = BatchLoader(
         test_set.pcd, test_set.label, batch_size=bs,
@@ -287,9 +293,12 @@ def train_shapenet(
         if use_fps
         else None
     )
-    train_loader = BatchLoader(
+    from samble_tpu.native import make_train_loader
+
+    train_loader = make_train_loader(
         train_set.pcd, train_set.label, train_set.seg, batch_size=bs,
         selected_points=loader_sel, shuffle=True, drop_last=True, seed=seed,
+        native=str(cfg.select("train.dataloader.native", "auto")),
     )
     val_loader = BatchLoader(
         test_set.pcd, test_set.label, test_set.seg, batch_size=bs,
