@@ -177,6 +177,48 @@ def bench_train_step(n_points, m_schedule, bs, dtype):
     return bs / dt, dt
 
 
+def bench_seg_train_step(n_points, bs, dtype):
+    """Seg training throughput: full jitted step (STN + U-Net + aux losses)."""
+    import jax
+
+    from samble_tpu.config import load_config
+    from samble_tpu.data import make_batch_augment
+    from samble_tpu.models import SegModel
+    from samble_tpu.train.schedules import make_optimizer
+    from samble_tpu.train.state import create_train_state
+    from samble_tpu.train.step import make_train_step
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    cfg = load_config(
+        os.path.join(root, "configs", "default.yaml"),
+        dataset_path=os.path.join(root, "configs", "datasets", "shapenet.yaml"),
+        usr_config_path=os.path.join(root, "configs", "seg.yaml"),
+        cli_overrides=[f"train.dataloader.selected_points={n_points}"],
+    )
+    model = SegModel(cfg=cfg, num_parts=50, train=True, dtype=dtype)
+    tx = make_optimizer(cfg.train, steps_per_epoch=100)
+    example = (np.zeros((bs, n_points, 3), np.float32),
+               np.zeros((bs, 16), np.float32))
+    state = create_train_state(model, example, tx, jax.random.key(0))
+    augment = make_batch_augment(cfg.train.dataloader.data_augmentation)
+    step = make_train_step(model, cfg, "seg", 50, augment_fn=augment,
+                           donate=False)
+    rng = np.random.default_rng(2)
+    pts = jax.device_put(rng.normal(size=(bs, n_points, 3)).astype(np.float32))
+    seg = jax.device_put(rng.integers(0, 50, (bs, n_points)).astype(np.int32))
+    cat = jax.device_put(rng.integers(0, 16, bs).astype(np.int32))
+    for _ in range(2):
+        state, out = step(state, (pts, seg, cat), jax.random.key(7))
+        np.asarray(out["loss"])
+    iters = 8
+    t0 = time.time()
+    for _ in range(iters):
+        state, out = step(state, (pts, seg, cat), jax.random.key(7))
+    np.asarray(out["loss"])
+    dt = (time.time() - t0) / iters
+    return bs / dt, dt
+
+
 def bench_seg_inference(n_points, bs, dtype):
     import jax
 
@@ -371,6 +413,11 @@ def main():
             ("train_step_1024", lambda: {
                 "clouds_per_sec": round(
                     bench_train_step(1024, [512, 256], 64, dtype)[0], 2
+                )
+            }),
+            ("train_step_seg_2048", lambda: {
+                "clouds_per_sec": round(
+                    bench_seg_train_step(2048, 32, dtype)[0], 2
                 )
             }),
         ):

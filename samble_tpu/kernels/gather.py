@@ -254,11 +254,14 @@ def _gather_knn_kernel(xa_ref, xb_ref, w_ref, out_ref, idx_ref,
 
 @functools.partial(jax.jit, static_argnames=("knn_k", "interpret"))
 def _gather_knn_pallas(w, xn, knn_k: int, interpret: bool = False):
+    from samble_tpu.kernels import keys as keys_mod
+
     bsz, n, c = w.shape
     cx = xn.shape[-1]
     xn = xn.astype(jnp.float32)
     tile = _tile_for(n)
-    idx_bits = max(1, (((n + 127) // 128) * 128 - 1).bit_length())
+    # keys.py contract: index width from the 128-padded column count
+    idx_bits = keys_mod.packing_bits(((n + 127) // 128) * 128)
     grid = (bsz, n // tile)
     return pl.pallas_call(
         functools.partial(_gather_knn_kernel, knn_k=knn_k,
