@@ -134,14 +134,20 @@ class UpSampleInterpolation(nn.Module):
         sel_conv = leaky_relu(sel_conv)  # (B, M, v_out)
 
         if self.distance_type == "feature":
+            # feature distances carry parameter gradients through the 1/d
+            # interpolation weights — training needs the differentiable kNN
             neighbors, _, d = ops.select_neighbors_interpolate(
                 pcd_up, points_select, sel_conv, k=self.k,
                 differentiable=self.train,
             )
         elif self.distance_type == "xyz":
+            # xyz positions reach here through integer gathers of the INPUT
+            # coordinates only — no parameter ever influences d, so the
+            # fused forward-only kNN is exact for training too (gradients
+            # through d are identically zero either way)
             neighbors, _, d = ops.select_neighbors_interpolate(
                 pcd_up_xyz, points_select_xyz, sel_conv, k=self.k,
-                differentiable=self.train,
+                differentiable=False,
             )
         else:
             raise ValueError(
