@@ -47,15 +47,17 @@ def _sel_chunk(k0: int, ck: int, idx, n: int, dtype):
     return sel.reshape(ck * tile, n).astype(dtype)
 
 
-def _chunk_of(knn_k: int, tile: int) -> int:
-    """Selection-chunk width: bound the (CK·TILE, M) one-hot block to ~2k
-    rows so the intermediate stays comfortably in VMEM while each matmul is
-    still big enough to fill the MXU (32 tiny K-loop matmuls measured ~2x
-    slower than 2-4 chunked ones at B=64, N=1024, K=32)."""
-    ck = max(1, 2048 // tile)
+def _chunk_of(knn_k: int, tile: int, m: int) -> int:
+    """Selection-chunk width: bound the (CK·TILE, M) one-hot block to ~2M
+    elements (4 MB bf16) so the intermediate stays inside the scoped-VMEM
+    stack at every M, while each matmul is still big enough to fill the
+    MXU (32 tiny K-loop matmuls measured ~2x slower than 2-4 chunked ones
+    at B=64, N=1024, K=32; an unbounded chunk OOMed the 16M scoped-vmem
+    stack at M=4096)."""
+    ck = max(1, min(2048 // tile, 2_000_000 // max(tile * m, 1)))
     while knn_k % ck:
         ck -= 1
-    return ck
+    return max(ck, 1)
 
 
 def _gather_kernel(w_ref, idx_ref, out_ref, *, knn_k: int):
@@ -68,7 +70,7 @@ def _gather_kernel(w_ref, idx_ref, out_ref, *, knn_k: int):
     w = w_ref[0]
     idx = idx_ref[0]
     tile, n = idx.shape[0], w.shape[0]
-    ck = _chunk_of(knn_k, tile)
+    ck = _chunk_of(knn_k, tile, n)
     c = w.shape[-1]
     for k0 in range(0, knn_k, ck):
         sel = _sel_chunk(k0, ck, idx, n, w.dtype)
@@ -89,7 +91,7 @@ def _scatter_kernel(g_ref, idx_ref, out_ref, *, knn_k: int):
     """
     idx = idx_ref[0]
     tile, n = idx.shape[0], out_ref.shape[1]
-    ck = _chunk_of(knn_k, tile)
+    ck = _chunk_of(knn_k, tile, n)
     c = g_ref.shape[-1]
 
     @pl.when(pl.program_id(1) == 0)
@@ -138,6 +140,9 @@ def _gather_pallas(w, idx, interpret: bool = False):
         out_specs=pl.BlockSpec((1, knn_k, tile, c), lambda i, j: (i, 0, j, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bsz, knn_k, rows, c), w.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(w, idx)
 
@@ -159,6 +164,9 @@ def _scatter_pallas(g, idx, m: int, interpret: bool = False):
         out_specs=pl.BlockSpec((1, m, c), lambda i, j: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bsz, m, c), g.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(g, idx)
 
@@ -224,7 +232,9 @@ def _gather_knn_kernel(xa_ref, xb_ref, w_ref, out_ref, idx_ref,
     pool0 = keys_mod.packed_key_tile(xa_ref[0], xb_ref[0], idx_bits, m_valid)
 
     # partial unroll: full K unrolls blow Mosaic's compile budget at large
-    # N with wide live state (docs/kernels.md compiler lessons)
+    # N with wide live state (docs/kernels.md compiler lessons); the
+    # 4-wide body at N=4096 also needs the raised scoped-vmem limit set on
+    # the pallas_call below (17.1M stack vs the 16M default)
     budget = max(1, (16 * 1024) // w.shape[0])
     unroll = next(u for u in (8, 4, 2, 1) if u <= budget and knn_k % u == 0)
 
@@ -285,6 +295,9 @@ def _gather_knn_pallas(w, xn, knn_k: int, interpret: bool = False):
             jax.ShapeDtypeStruct((bsz, knn_k, n, c), w.dtype),
             jax.ShapeDtypeStruct((bsz, n, knn_k), jnp.int32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(xn, xn, w)
 
