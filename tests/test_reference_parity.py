@@ -756,3 +756,31 @@ def test_upsample_selfa_matches_reference():
     )
     _assert_close(np.moveaxis(np.asarray(j_out), -1, 1), t_out.numpy(),
                   rtol=5e-4, atol=5e-5, what="selfA out")
+
+
+def test_edgeconv_normal_channel_matches_reference():
+    """6-channel (xyz+normal) EdgeConv: the kNN graph must come from the
+    xyz half only (utils/ops.py:51-54) while features use all 6 channels."""
+    from samble_tpu.config.loader import Config
+
+    rng = _seed_all(25)
+    cfg = Config({
+        "K": [6], "group_type": ["center_diff"], "normal_channel": True,
+        "conv1_in": [12], "conv1_out": [16], "conv2_in": [16],
+        "conv2_out": [16],
+    })
+    tmod = ref_embedding.EdgeConv(cfg, 0)
+    _randomize_bn_stats(tmod, rng)
+    tmod.eval()
+    xyz = rng.standard_normal((2, 40, 3)).astype(np.float32)
+    nrm = rng.standard_normal((2, 40, 3))
+    nrm /= np.linalg.norm(nrm, axis=-1, keepdims=True)
+    x = np.concatenate([xyz, nrm.astype(np.float32)], -1)
+    with torch.no_grad():
+        t_out = tmod(torch.from_numpy(x.transpose(0, 2, 1)))
+    p, s = interop.edgeconv_tree(tmod.state_dict(), "")
+    jmod = EdgeConv(k=6, group_type="center_diff", conv1_out=16, conv2_out=16,
+                    normal_channel=True, train=False)
+    j_out = jmod.apply({"params": p, "batch_stats": s}, jnp.asarray(x))
+    _assert_close(np.moveaxis(np.asarray(j_out), -1, 1), t_out.numpy(),
+                  what="EdgeConv normal_channel")
