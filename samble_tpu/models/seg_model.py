@@ -133,8 +133,10 @@ class SegModel(nn.Module):
 
         trans = None
         if blk.get("STN", False):
-            trans = STN(train=self.train)(x)  # groups internally; (B, 3, 3)
-            x = jnp.einsum("bnc,bcd->bnd", x, trans)
+            # groups internally; (B, 3, 3).  Computation dtype follows the
+            # model (bf16 under AMP); the returned transform is f32.
+            trans = STN(train=self.train, dtype=self.dtype)(x)
+            x = jnp.einsum("bnc,bcd->bnd", x, trans.astype(x.dtype))
 
         x_tmp, aux_list = SegFeatureBlock(
             cfg=blk, train=self.train, dtype=self.dtype

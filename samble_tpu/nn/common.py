@@ -71,19 +71,29 @@ class Conv1x1(nn.Module):
 
 class ConvBNLeaky(nn.Module):
     """Conv1x1 → BatchNorm → LeakyReLU(0.2) block (the reference's
-    ``nn.Sequential(Conv, BN, LeakyReLU)`` pattern)."""
+    ``nn.Sequential(Conv, BN, LeakyReLU)`` pattern).
+
+    ``part`` lets a caller split the block around a gather: the conv is
+    linear and bias-free, so it commutes with neighbor grouping — apply
+    ``part='conv'`` per-point before the gather and ``part='bnleaky'`` on
+    the assembled pair tensor (STN's train path, nn/embedding.py).  Both
+    submodules are constructed unconditionally so the parameter tree (and
+    checkpoint layout) is identical however the block is called."""
 
     features: int
     train: bool = True
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
-        x = Conv1x1(self.features, dtype=self.dtype)(x)
-        x = PointBatchNorm(
-            use_running_average=not self.train, dtype=self.dtype
-        )(x)
-        return leaky_relu(x)
+    def __call__(self, x: jax.Array, part: str = "all") -> jax.Array:
+        conv = Conv1x1(self.features, dtype=self.dtype)
+        bn = PointBatchNorm(use_running_average=not self.train, dtype=self.dtype)
+        if part in ("all", "conv"):
+            x = conv(x)
+        if part in ("all", "bnleaky"):
+            x = bn(x)
+            x = leaky_relu(x)
+        return x
 
 
 def split_heads(x: jax.Array, num_heads: int) -> jax.Array:

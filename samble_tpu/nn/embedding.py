@@ -172,13 +172,15 @@ class STN(nn.Module):
     k: int = 32  # kNN degree of the grouping (hardcoded in the reference)
     impl: str = "auto"  # 'auto' | 'fused' | 'gather' (fused = eval only)
     train: bool = True
+    dtype: Any = jnp.float32  # computation dtype; params/BN moments stay f32
 
     @nn.compact
     def __call__(self, xyz: jax.Array) -> jax.Array:
         # xyz: (B, N, 3)
         b, n, _ = xyz.shape
-        cbl1 = ConvBNLeaky(64, train=self.train)
-        cbl2 = ConvBNLeaky(128, train=self.train)
+        xyz = xyz.astype(self.dtype)
+        cbl1 = ConvBNLeaky(64, train=self.train, dtype=self.dtype)
+        cbl2 = ConvBNLeaky(128, train=self.train, dtype=self.dtype)
 
         from samble_tpu import kernels
 
@@ -191,8 +193,8 @@ class STN(nn.Module):
             and n >= 256
         )
         if use_fused:
-            w1, b1 = probe_cbl_affine(cbl1, 6)  # (6, 64), (64,)
-            w2, b2 = probe_cbl_affine(cbl2, 64)
+            w1, b1 = probe_cbl_affine(cbl1, 6, self.dtype)  # (6, 64), (64,)
+            w2, b2 = probe_cbl_affine(cbl2, 64, self.dtype)
             # center‖diff concat hoist: gᵀW1' = x_i·(W1'c − W1'd) + x_j·W1'd
             u = xyz @ (w1[:3] - w1[3:]) + b1
             w = xyz @ w1[3:]
@@ -202,12 +204,36 @@ class STN(nn.Module):
                 interpret=not kernels.use_pallas(),
             )  # (B, N, 128), max over K fused
         else:
-            x_grouped, _ = ops.group(xyz, self.k, "center_diff")  # (B,N,K,6)
-            x = cbl1(x_grouped)
-            x = cbl2(x)
-            x = jnp.max(x, axis=2)  # (B, N, 128)
-        x = ConvBNLeaky(1024, train=self.train)(x)
-        x = jnp.max(x, axis=1)  # (B, 1024)
+            # Train path (and non-Pallas eval): hoist cbl1's conv before
+            # the gather — it is linear and bias-free, so for center_diff
+            # pairs g = [x_i ‖ x_j − x_i]:  conv(g) = u_i + w_j  with
+            # w = x@W_d (probe [0‖x]) and u = x@(W_c − W_d) = [x‖x]@W − 2w.
+            # Exactly EdgeConv's train-path structure: the kNN selection is
+            # fused into the K-first one-hot-matmul gather, and the BN/max
+            # chain runs on the (B, K, N, C) twin layout (same moments).
+            # This replaced a grouped (B,N,K,6) front whose XLA
+            # gather/scatter-add backward dominated the seg train step
+            # (55 ms of 178 at B=32, N=2048 — tools/profile_seg_train.py).
+            zeros = jnp.zeros_like(xyz)
+            w = cbl1(jnp.concatenate([zeros, xyz], -1), part="conv")
+            u = cbl1(jnp.concatenate([xyz, xyz], -1), part="conv") - 2.0 * w
+            if kernels.use_pallas() and n >= 256:
+                from samble_tpu.kernels.gather import gather_knn_kfirst
+
+                w_nb, _ = gather_knn_kfirst(
+                    w, ops.neighbors.knn_normalized(xyz), self.k
+                )  # (B, K, N, 64)
+                g = u[:, None] + w_nb
+                kaxis = 1
+            else:
+                idx = ops.neighbors.knn_indices(xyz, self.k)
+                g = u[:, :, None] + ops.index_points(w, idx)  # (B,N,K,64)
+                kaxis = 2
+            g = cbl1(g, part="bnleaky")
+            g = cbl2(g)
+            x = jnp.max(g, axis=kaxis)  # (B, N, 128)
+        x = ConvBNLeaky(1024, train=self.train, dtype=self.dtype)(x)
+        x = jnp.max(x, axis=1).astype(jnp.float32)  # (B, 1024)
         x = Conv1x1(512)(x)
         x = PointBatchNorm(use_running_average=not self.train)(x)
         x = leaky_relu(x)

@@ -21,6 +21,9 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_tpu_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp
 
 from samble_tpu.config import load_config
@@ -151,7 +154,7 @@ def main():
     for j, (n_up, n_sel) in ((0, (1024, 512)), (1, (2048, 1024))):
         m = make_upsample(blk.upsample, j, True, DTYPE)
         idx_sel = np.sort(
-            rng.choice(n_up, size=(BS, n_sel), replace=False), axis=1
+            np.argsort(rng.random((BS, n_up)), axis=1)[:, :n_sel], axis=1
         ).astype(np.int32)
         kwargs = dict(
             points_select=f128(n_sel),
