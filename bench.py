@@ -4,8 +4,26 @@ Primary metric (the ONE JSON line, last stdout line): clouds/sec for
 1024-pt ModelNet40 classification inference on one TPU chip, with MFU
 accounting from XLA ``cost_analysis``.  Secondary configs (2048/4096-pt
 high-res, APES global-attention variant, ShapeNet seg, train-step
-throughput) and the Pallas-vs-XLA kernel parity/speedup checks print as
-``#``-prefixed stderr lines and ride along in the JSON under ``extra``.
+throughput at both 1024 and the reference's shipped 2048-pt shapes) and
+the Pallas-vs-XLA kernel parity/speedup checks print as ``#``-prefixed
+stderr lines and ride along in the JSON under ``extra``.
+
+Robustness (round-3 redesign; BENCH_r02 recorded rc=124/parsed=null when
+one slow extra blew past the driver wall clock):
+
+- The orchestrating parent process NEVER imports jax.  The primary and
+  every extra run as their own subprocess (``--primary`` / ``--extra``
+  child modes) with a hard per-child deadline, so a hung compile cannot
+  take the record down with it — the child is killed and recorded as an
+  error entry instead.
+- The primary JSON line is printed to stdout the moment the primary
+  measurement lands, BEFORE any extra runs.  After the extras, the same
+  JSON enriched with ``extra`` is re-printed as the final line (the
+  driver parses the last stdout line; if the driver kills us mid-extra
+  the early line still parses).
+- A global TIME_BUDGET_S (checked before each child launch AND used to
+  clamp each child's deadline) keeps worst-case wall time well inside
+  the driver limit observed in round 2 (~30 min).
 
 Methodology (measured on this box, see git history): on the tunnelled TPU,
 repeated dispatches with bitwise-identical inputs can report absurd rates
@@ -36,20 +54,42 @@ Env knobs: SAMBLE_BENCH_QUICK=1     → primary config only.
 
 import json
 import os
+import subprocess
 import sys
 import time
 
-import numpy as np
-
 REFERENCE_CLOUDS_PER_SEC = 191.78  # round-1 anchor (BENCH_r01.json)
 V5E_BF16_PEAK_FLOPS = 197e12  # TPU v5e per-chip peak, bf16
-TIME_BUDGET_S = 1500  # skip remaining extras past this wall-clock point
+TIME_BUDGET_S = 1200  # global wall-clock ceiling for the whole bench
+PRIMARY_TIMEOUT_S = 480  # hard deadline for the primary child
+EXTRA_TIMEOUT_S = 280  # hard deadline per extra child
 
 _T0 = time.time()
 
 
 def _log(msg):
     print(msg, file=sys.stderr, flush=True)
+
+
+# ---------------------------------------------------------------------------
+# measurement helpers (child processes only — these import jax)
+# ---------------------------------------------------------------------------
+
+
+def _setup_jax():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_tpu_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    return jax
+
+
+def _dtype():
+    import jax.numpy as jnp
+
+    return (
+        jnp.float32 if os.environ.get("SAMBLE_BENCH_F32") == "1" else jnp.bfloat16
+    )
 
 
 def _timeit_chained(fn_out, x0, iters=10, warmup=2):
@@ -70,6 +110,7 @@ def _flops_of(fn, *args):
 
 def _build_cls(cfg_overrides, n_points, dtype, train=False):
     import jax
+    import numpy as np
 
     from samble_tpu.config import load_config
     from samble_tpu.models import ClsModel
@@ -115,6 +156,7 @@ def bench_cls_inference(n_points, m_schedule, batch_sizes, dtype, tag,
                         want_flops=False):
     """Returns (best clouds/sec, best bs, flops_per_batch_at_best or None)."""
     import jax
+    import numpy as np
 
     _, _, model_eval, variables = _build_cls(
         [f"feature_learning_block.downsample.M={list(m_schedule)}"],
@@ -143,6 +185,7 @@ def bench_cls_inference(n_points, m_schedule, batch_sizes, dtype, tag,
 def bench_train_step(n_points, m_schedule, bs, dtype):
     """Training throughput: full jitted step incl. grads + optimizer."""
     import jax
+    import numpy as np
 
     from samble_tpu.data import make_batch_augment
     from samble_tpu.train.schedules import make_optimizer
@@ -180,6 +223,7 @@ def bench_train_step(n_points, m_schedule, bs, dtype):
 def bench_seg_train_step(n_points, bs, dtype):
     """Seg training throughput: full jitted step (STN + U-Net + aux losses)."""
     import jax
+    import numpy as np
 
     from samble_tpu.config import load_config
     from samble_tpu.data import make_batch_augment
@@ -221,6 +265,7 @@ def bench_seg_train_step(n_points, bs, dtype):
 
 def bench_seg_inference(n_points, bs, dtype):
     import jax
+    import numpy as np
 
     from samble_tpu.config import load_config
     from samble_tpu.models import SegModel
@@ -263,6 +308,7 @@ def bench_kernels():
     """On-TPU Pallas vs XLA parity + speedup for the two custom kernels."""
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
     from samble_tpu import kernels
     from samble_tpu.kernels.score import (
@@ -336,20 +382,37 @@ def bench_kernels():
     return out
 
 
-def main():
+def _bench_apes(dtype):
+    """BASELINE config #2: APES-style global attention-map row/col scoring."""
     import jax
+    import numpy as np
 
-    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_tpu_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    import jax.numpy as jnp
-
-    dtype = (
-        jnp.float32 if os.environ.get("SAMBLE_BENCH_F32") == "1" else jnp.bfloat16
+    _, _, model_eval, variables = _build_cls(
+        [
+            "feature_learning_block.downsample.ds_which=global",
+            "feature_learning_block.downsample.M=[512,256]",
+            "feature_learning_block.downsample.idx_mode=[sparse_col_sqr,sparse_col_sqr]",
+        ],
+        1024, dtype,
     )
-    quick = os.environ.get("SAMBLE_BENCH_QUICK") == "1"
-    extra = {}
+    forward = _forward_fn(model_eval, variables)
+    rng = np.random.default_rng(5)
+    points = jax.device_put(rng.normal(size=(128, 1024, 3)).astype(np.float32))
+    dt = _timeit_chained(forward, points)
+    return 128 / dt, 128
 
-    # ---- primary: 1024-pt cls inference, M scaled with N ----
+
+# ---------------------------------------------------------------------------
+# child modes
+# ---------------------------------------------------------------------------
+
+
+def run_primary():
+    """Child: measure the primary config, print one JSON line on stdout."""
+    jax = _setup_jax()
+    import numpy as np
+
+    dtype = _dtype()
     best, best_bs, flops = bench_cls_inference(
         1024, [512, 256], (64, 128, 256), dtype, "cls-1024", want_flops=True
     )
@@ -369,101 +432,162 @@ def main():
         with trace(trace_dir):
             jax.block_until_ready(jax.jit(fwd)(pts))
         _log(f"# profiler trace written to {trace_dir}")
+
+    result = {
+        "metric": "modelnet40_cls_1024pt_inference_throughput",
+        "value": round(best, 2),
+        "unit": "clouds/sec",
+        "vs_baseline": round(best / REFERENCE_CLOUDS_PER_SEC, 3),
+        "batch_size": best_bs,
+        "dtype": str(dtype.__name__),
+        "device": str(jax.devices()[0]),
+    }
     if flops:
         flops_per_sec = flops / best_bs * best
-        extra["flops_per_cloud_G"] = round(flops / best_bs / 1e9, 3)
-        extra["tflops_per_sec"] = round(flops_per_sec / 1e12, 3)
-        extra["mfu_pct"] = round(100 * flops_per_sec / V5E_BF16_PEAK_FLOPS, 3)
-        _log(f"# primary MFU: {extra['mfu_pct']}% "
-             f"({extra['tflops_per_sec']} TFLOP/s, "
-             f"{extra['flops_per_cloud_G']} GF/cloud)")
+        result["flops_per_cloud_G"] = round(flops / best_bs / 1e9, 3)
+        result["tflops_per_sec"] = round(flops_per_sec / 1e12, 3)
+        result["mfu_pct"] = round(100 * flops_per_sec / V5E_BF16_PEAK_FLOPS, 3)
+        _log(f"# primary MFU: {result['mfu_pct']}% "
+             f"({result['tflops_per_sec']} TFLOP/s, "
+             f"{result['flops_per_cloud_G']} GF/cloud)")
+    print(json.dumps(result), flush=True)
 
-    def budget_left():
-        left = time.time() - _T0 < TIME_BUDGET_S
-        if not left:
-            _log("# time budget exhausted; skipping remaining extras")
-        return left
 
-    if not quick:
-        for name, fn in (
-            ("kernels", bench_kernels),
-            ("cls_2048", lambda: dict(zip(
-                ("clouds_per_sec", "batch_size"),
-                (lambda r: (round(r[0], 2), r[1]))(
-                    bench_cls_inference(2048, [1024, 512], (32, 64), dtype,
-                                        "cls-2048")[:2]
-                ),
-            ))),
-            ("cls_4096", lambda: dict(zip(
-                ("clouds_per_sec", "batch_size"),
-                (lambda r: (round(r[0], 2), r[1]))(
-                    bench_cls_inference(4096, [2048, 1024], (16, 32), dtype,
-                                        "cls-4096")[:2]
-                ),
-            ))),
-            ("apes_global_1024", lambda: dict(zip(
-                ("clouds_per_sec", "batch_size"),
-                (lambda r: (round(r[0], 2), r[1]))(
-                    _bench_apes(dtype)[:2]
-                ),
-            ))),
-            ("seg_2048", lambda: {
-                "clouds_per_sec": round(bench_seg_inference(2048, 32, dtype)[0], 2)
-            }),
-            ("train_step_1024", lambda: {
-                "clouds_per_sec": round(
-                    bench_train_step(1024, [512, 256], 64, dtype)[0], 2
-                )
-            }),
-            ("train_step_seg_2048", lambda: {
-                "clouds_per_sec": round(
-                    bench_seg_train_step(2048, 32, dtype)[0], 2
-                )
-            }),
-        ):
-            if not budget_left():
-                break
-            try:
-                extra[name] = fn()
-                _log(f"# {name}: {extra[name]}")
-            except Exception as e:
-                _log(f"# {name} failed: {type(e).__name__}: {e}")
-                extra[name] = {"error": f"{type(e).__name__}: {e}"}
+# name → zero-arg callable returning a JSON-serializable dict
+def _extra_registry():
+    dtype = _dtype()
+    return {
+        "kernels": bench_kernels,
+        "train_step_1024": lambda: {
+            "clouds_per_sec": round(
+                bench_train_step(1024, [512, 256], 64, dtype)[0], 2
+            )
+        },
+        "apes_global_1024": lambda: dict(zip(
+            ("clouds_per_sec", "batch_size"),
+            (lambda r: (round(r[0], 2), r[1]))(_bench_apes(dtype)[:2]),
+        )),
+        "cls_2048": lambda: dict(zip(
+            ("clouds_per_sec", "batch_size"),
+            (lambda r: (round(r[0], 2), r[1]))(
+                bench_cls_inference(2048, [1024, 512], (32, 64), dtype,
+                                    "cls-2048")[:2]
+            ),
+        )),
+        "cls_4096": lambda: dict(zip(
+            ("clouds_per_sec", "batch_size"),
+            (lambda r: (round(r[0], 2), r[1]))(
+                bench_cls_inference(4096, [2048, 1024], (16, 32), dtype,
+                                    "cls-4096")[:2]
+            ),
+        )),
+        "seg_2048": lambda: {
+            "clouds_per_sec": round(bench_seg_inference(2048, 32, dtype)[0], 2)
+        },
+        "train_step_cls_2048": lambda: {
+            "clouds_per_sec": round(
+                bench_train_step(2048, [1024, 512], 32, dtype)[0], 2
+            )
+        },
+        "train_step_seg_2048": lambda: {
+            "clouds_per_sec": round(
+                bench_seg_train_step(2048, 32, dtype)[0], 2
+            )
+        },
+    }
 
-    vs = best / REFERENCE_CLOUDS_PER_SEC if REFERENCE_CLOUDS_PER_SEC else 1.0
-    print(
-        json.dumps(
-            {
-                "metric": "modelnet40_cls_1024pt_inference_throughput",
-                "value": round(best, 2),
-                "unit": "clouds/sec",
-                "vs_baseline": round(vs, 3),
-                "batch_size": best_bs,
-                "dtype": str(dtype.__name__),
-                "device": str(jax.devices()[0]),
-                "extra": extra,
-            }
+
+EXTRA_ORDER = (
+    "kernels",
+    "train_step_1024",
+    "apes_global_1024",
+    "cls_2048",
+    "cls_4096",
+    "seg_2048",
+    "train_step_cls_2048",
+    "train_step_seg_2048",
+)
+
+
+def run_extra(name):
+    """Child: run one extra, print one JSON line on stdout."""
+    _setup_jax()
+    fn = _extra_registry()[name]
+    print(json.dumps(fn()), flush=True)
+
+
+# ---------------------------------------------------------------------------
+# parent orchestrator (never imports jax)
+# ---------------------------------------------------------------------------
+
+
+def _run_child(argv, deadline_s):
+    """Run one child; returns (parsed-last-stdout-json | None, err | None)."""
+    try:
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), *argv],
+            capture_output=True, text=True, timeout=deadline_s,
         )
-    )
+    except subprocess.TimeoutExpired as e:
+        for s in (e.stderr, e.stdout):
+            if s:
+                sys.stderr.write(s if isinstance(s, str) else s.decode())
+        return None, f"timeout after {deadline_s:.0f}s"
+    sys.stderr.write(p.stderr)
+    sys.stderr.flush()
+    lines = [ln for ln in p.stdout.strip().splitlines() if ln.strip()]
+    if p.returncode != 0 or not lines:
+        tail = (p.stderr or "").strip().splitlines()[-3:]
+        return None, f"rc={p.returncode}: " + " | ".join(tail)[-300:]
+    try:
+        return json.loads(lines[-1]), None
+    except json.JSONDecodeError as e:
+        return None, f"unparseable child output: {e}"
 
 
-def _bench_apes(dtype):
-    """BASELINE config #2: APES-style global attention-map row/col scoring."""
-    import jax
+def main():
+    if "--primary" in sys.argv:
+        run_primary()
+        return
+    if "--extra" in sys.argv:
+        run_extra(sys.argv[sys.argv.index("--extra") + 1])
+        return
 
-    _, _, model_eval, variables = _build_cls(
-        [
-            "feature_learning_block.downsample.ds_which=global",
-            "feature_learning_block.downsample.M=[512,256]",
-            "feature_learning_block.downsample.idx_mode=[sparse_col_sqr,sparse_col_sqr]",
-        ],
-        1024, dtype,
-    )
-    forward = _forward_fn(model_eval, variables)
-    rng = np.random.default_rng(5)
-    points = jax.device_put(rng.normal(size=(128, 1024, 3)).astype(np.float32))
-    dt = _timeit_chained(forward, points)
-    return 128 / dt, 128
+    # ---- primary (own subprocess, generous deadline) ----
+    result, err = _run_child(["--primary"], PRIMARY_TIMEOUT_S)
+    if result is None:
+        # still emit a parseable record so the round is never unrecorded
+        result = {
+            "metric": "modelnet40_cls_1024pt_inference_throughput",
+            "value": 0.0,
+            "unit": "clouds/sec",
+            "vs_baseline": 0.0,
+            "error": err,
+        }
+    # early line: if anything downstream hangs or the driver kills us, this
+    # line is already on stdout and parses
+    print(json.dumps(result), flush=True)
+
+    extra = {}
+    if os.environ.get("SAMBLE_BENCH_QUICK") != "1":
+        for name in EXTRA_ORDER:
+            left = TIME_BUDGET_S - (time.time() - _T0)
+            if left < 60:
+                _log(f"# time budget exhausted; skipping {name} and the rest")
+                break
+            deadline = min(EXTRA_TIMEOUT_S, left)
+            t_ex = time.time()
+            val, err = _run_child(["--extra", name], deadline)
+            took = time.time() - t_ex
+            if val is not None:
+                extra[name] = val
+                _log(f"# {name}: {val} ({took:.0f}s)")
+            else:
+                extra[name] = {"error": err}
+                _log(f"# {name} failed after {took:.0f}s: {err}")
+
+    # final enriched line (driver parses the last stdout line)
+    print(json.dumps({**result, "extra": extra}), flush=True)
 
 
 if __name__ == "__main__":

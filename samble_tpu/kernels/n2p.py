@@ -18,9 +18,11 @@ Nothing O(N²) touches HBM.  scalar_dot group-type algebra (see
 Neighbor2PointAttention._use_dense): 'diff' ≡ plain masked attention minus
 v_i; 'dot-sub' ≡ negated energies.
 
-Differentiable via jax.custom_vjp: the backward pass recomputes the
-dense-masked XLA formulation (exact same math) and differentiates that —
-training takes the dense cost, serving takes the fused kernel.
+Differentiable via jax.custom_vjp with a fused flash-style Pallas backward
+(``_n2p_bwd_kernel`` below): the residual is just (q, k, v, idx) and the
+backward streams the same row tiles, recomputing the masked softmax in
+VMEM and accumulating dq/dk/dv without materializing the (B, H, N, N)
+energy — training and serving both take the fused cost.
 """
 
 from __future__ import annotations

@@ -17,6 +17,7 @@ devices); nothing else changes.
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Optional, Sequence
 
 import jax
@@ -70,11 +71,101 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch: Any, axis_name: str = "data") -> Any:
-    """Device-put every array in ``batch`` with its leading axis sharded."""
+    """Device-put every array in ``batch`` with its leading axis sharded.
+
+    Works at any process count: every process holds the same full global
+    batch (the loaders are seeded identically across processes, mirroring
+    the reference's DistributedSampler determinism,
+    train_modelnet.py:208-209); under multi-process each process
+    materializes only the shards it owns via ``make_array_from_callback``.
+    """
     sharding = batch_sharding(mesh, axis_name)
-    return jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, sharding), batch
-    )
+    if mesh.devices.size == len([d for d in mesh.devices.flat
+                                 if d.process_index == jax.process_index()]):
+        # single-process fast path
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, sharding), batch
+        )
+
+    def put(x):
+        x = np.asarray(x)
+        return jax.make_array_from_callback(
+            x.shape, sharding, lambda idx: x[idx]
+        )
+
+    return jax.tree_util.tree_map(put, batch)
+
+
+def wait_at_barrier(name: str, timeout_ms: int = 600_000) -> None:
+    """Coordination-service barrier (NOT a device collective).
+
+    Goes through the distributed runtime client (the same service
+    ``jax.distributed.initialize`` rendezvouses on), so it carries a
+    configurable, generous timeout — unlike Gloo context initialization,
+    whose KV lookups time out after a hardcoded 30 s.  No-op single-process.
+    """
+    if jax.process_count() <= 1:
+        return
+    from jax._src import distributed
+
+    client = distributed.global_state.client
+    if client is not None:
+        client.wait_at_barrier(name, timeout_in_ms=timeout_ms)
+
+
+class BarrierOnFirstCall:
+    """Compile-then-sync wrapper for multi-process first executions.
+
+    On a cold compilation cache, two processes' first executions of a big
+    jitted step can skew by minutes (one hits a warm persistent cache, the
+    other compiles from scratch).  The laggard then misses Gloo's hardcoded
+    30 s rendezvous window for the collective's context init and the run
+    dies with ``GetKeyValue() timed out``.  Fix: on the FIRST call under
+    ``process_count > 1``, AOT-compile the step for the given args (no
+    execution, so no collective), then meet at a named coordination-service
+    barrier, then dispatch — every process enters the collective within the
+    barrier's skew, not the compiler's.  Single-process: passthrough.
+    """
+
+    def __init__(self, fn, name: str):
+        self._fn = fn
+        self._name = name
+        self._pending = jax.process_count() > 1
+
+    def __call__(self, *args):
+        if self._pending:
+            self._fn.lower(*args).compile()
+            wait_at_barrier(f"first-call/{self._name}")
+            self._pending = False
+        return self._fn(*args)
+
+
+@functools.lru_cache(maxsize=None)
+def _replicator(mesh: Mesh):
+    """One cached jitted identity per mesh (a fresh ``jax.jit(lambda ...)``
+    per fetch would retrace + recompile the all-gather on every call)."""
+    return jax.jit(lambda v: v, out_shardings=NamedSharding(mesh, P()))
+
+
+def fetch(x: Any) -> Any:
+    """``np.asarray`` of a possibly cross-process-sharded output pytree.
+
+    The reference all_gathers predictions/labels to every rank each step
+    (train_modelnet.py:375-377).  Here: arrays whose shards live on
+    non-addressable devices are all-gathered to a fully-replicated layout
+    with one jitted identity (XLA inserts the collective), then read out.
+    Single-process arrays take the plain ``np.asarray`` path — no copy, no
+    collective.
+    """
+
+    def one(a):
+        if isinstance(a, jax.Array) and not (
+            a.is_fully_addressable or a.is_fully_replicated
+        ):
+            a = _replicator(a.sharding.mesh)(a)
+        return np.asarray(a)
+
+    return jax.tree_util.tree_map(one, x)
 
 
 def replicate_state(mesh: Mesh, state: Any) -> Any:

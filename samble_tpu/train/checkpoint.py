@@ -60,8 +60,10 @@ class CheckpointManager:
         in a reused directory — a stale sidecar from a previous run would
         otherwise suppress every save after a later resume)."""
         self.best_metric = None
-        if os.path.isfile(self._best_path):
+        try:
             os.remove(self._best_path)
+        except FileNotFoundError:  # already gone (or a multi-host peer won)
+            pass
 
     def save(self, step: int, state: TrainState, metric: Optional[float] = None):
         """Save at ``step``; tracks the best metric seen (higher = better)."""

@@ -21,7 +21,7 @@ import numpy as np
 from samble_tpu.data import BatchLoader
 from samble_tpu.data.augmentation import make_vote_augment
 from samble_tpu.models import ClsModel, SegModel
-from samble_tpu.parallel import make_mesh, shard_batch
+from samble_tpu.parallel import BarrierOnFirstCall, fetch, make_mesh, shard_batch
 from samble_tpu.train import metrics as metrics_mod
 from samble_tpu.train.checkpoint import CheckpointManager
 from samble_tpu.train.loop import _load_modelnet, _load_shapenet
@@ -141,26 +141,41 @@ def evaluate_modelnet(
             model_eval, "cls", int(vote_cfg.num_vote),
             make_vote_augment(cfg.train.dataloader.data_augmentation),
         )
+        # introspection + voting: the voted step averages logits over TTA
+        # copies and has no single per-layer aux, so dumps come from one
+        # additional NON-voted pass per batch (predictions stay voted)
+        intro_step = _make_introspect_step(model_eval, "cls") if introspect else None
     else:
+        intro_step = None
         step = (
             _make_introspect_step(model_eval, "cls")
             if introspect
             else make_eval_step(model_eval, "cls")
         )
+    step = BarrierOnFirstCall(step, "cls_eval_main")
+    if intro_step is not None:
+        intro_step = BarrierOnFirstCall(intro_step, "cls_eval_intro")
 
     preds_all, labels_all = [], []
     dumps: Dict[str, list] = {}
     for i, batch in enumerate(loader):
         points, label, valid = batch
         points_d = shard_batch(mesh, points)
-        out = step(state, points_d, None, jax.random.fold_in(jax.random.key(1), i))
-        preds_all.append(np.asarray(out["preds"])[valid])
+        key = jax.random.fold_in(jax.random.key(1), i)
+        out = step(state, points_d, None, key)
+        preds_all.append(fetch(out["preds"])[valid])
         labels_all.append(label[valid])
-        if introspect and not use_vote:
+        if introspect:
+            intro_out = out if intro_step is None else intro_step(
+                state, points_d, None, key
+            )
             dumps.setdefault("points", []).append(np.asarray(points)[valid])
-            for k, v in out.items():
+            # final decisions ride along so on/off-gates can compare at the
+            # prediction level (tools/pallas_parity_gate.py)
+            dumps.setdefault("preds", []).append(preds_all[-1])
+            for k, v in intro_out.items():
                 if "/" in k:
-                    dumps.setdefault(k, []).append(np.asarray(v)[valid])
+                    dumps.setdefault(k, []).append(fetch(v)[valid])
     preds = np.concatenate(preds_all)
     labels = np.concatenate(labels_all)
     acc = metrics_mod.accuracy(preds, labels)
@@ -212,12 +227,18 @@ def evaluate_shapenet(
             model_eval, "seg", int(vote_cfg.num_vote),
             make_vote_augment(cfg.train.dataloader.data_augmentation),
         )
+        # dumps from one additional non-voted pass (see evaluate_modelnet)
+        intro_step = _make_introspect_step(model_eval, "seg") if introspect else None
     else:
+        intro_step = None
         step = (
             _make_introspect_step(model_eval, "seg")
             if introspect
             else make_eval_step(model_eval, "seg")
         )
+    step = BarrierOnFirstCall(step, "seg_eval_main")
+    if intro_step is not None:
+        intro_step = BarrierOnFirstCall(intro_step, "seg_eval_intro")
 
     num_ds = len(cfg.feature_learning_block.downsample.M)
     all_iou, all_cat = [], []
@@ -227,25 +248,36 @@ def evaluate_shapenet(
     for i, batch in enumerate(loader):
         points, label, seg, valid = batch
         points_d, label_d = shard_batch(mesh, (points, label))
-        out = step(state, points_d, label_d, jax.random.fold_in(jax.random.key(1), i))
-        preds = np.asarray(out["preds"])
-        iou = np.asarray(shape_iou_fn(out["preds"], jnp.asarray(seg), jnp.asarray(label)))
+        key = jax.random.fold_in(jax.random.key(1), i)
+        out = step(state, points_d, label_d, key)
+        preds = fetch(out["preds"])
+        iou = fetch(shape_iou_fn(out["preds"], jnp.asarray(seg), jnp.asarray(label)))
         all_iou.append(iou[valid])
         all_cat.append(label[valid])
-        if introspect and not use_vote:
+        if introspect:
+            intro_out = out if intro_step is None else intro_step(
+                state, points_d, label_d, key
+            )
             idx_list = [
-                np.asarray(out[f"layer{l}/idx"]) for l in range(num_ds)
-                if f"layer{l}/idx" in out
+                fetch(intro_out[f"layer{l}/idx"]) for l in range(num_ds)
+                if f"layer{l}/idx" in intro_out
             ]
             if len(idx_list) == num_ds:
-                remapped = metrics_mod.downsampled_iou_labels(preds, seg, idx_list)
+                # per-ds-layer mIoU follows the introspection pass's indices
+                # (under voting they describe that pass, not the voted preds)
+                intro_preds = fetch(intro_out["preds"])
+                remapped = metrics_mod.downsampled_iou_labels(
+                    intro_preds, seg, idx_list
+                )
                 for l, (p_l, s_l) in enumerate(remapped):
                     ds_preds[l].append(p_l[valid])
                     ds_labels[l].append(s_l[valid])
             dumps.setdefault("points", []).append(np.asarray(points)[valid])
-            for k, v in out.items():
+            # final decisions for prediction-level on/off gating
+            dumps.setdefault("preds", []).append(preds[valid])
+            for k, v in intro_out.items():
                 if "/" in k:
-                    dumps.setdefault(k, []).append(np.asarray(v)[valid])
+                    dumps.setdefault(k, []).append(fetch(v)[valid])
     all_iou = np.concatenate(all_iou)
     all_cat = np.concatenate(all_cat)
     cat_miou = metrics_mod.category_miou(all_iou, all_cat, cfg.datasets.mapping)
@@ -258,7 +290,7 @@ def evaluate_shapenet(
         if ds_preds[l]:
             p_l = np.concatenate(ds_preds[l])
             s_l = np.concatenate(ds_labels[l])
-            iou_l = np.asarray(
+            iou_l = fetch(
                 shape_iou_fn(jnp.asarray(p_l), jnp.asarray(s_l), jnp.asarray(all_cat))
             )
             result[f"dsLayer{l + 1}_mIoU"] = float(iou_l.mean())

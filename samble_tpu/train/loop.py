@@ -32,6 +32,8 @@ from samble_tpu.data import (
 from samble_tpu.data.augmentation import make_vote_augment
 from samble_tpu.models import ClsModel, SegModel
 from samble_tpu.parallel import (
+    BarrierOnFirstCall,
+    fetch,
     make_mesh,
     maybe_init_distributed,
     replicate_state,
@@ -60,6 +62,15 @@ def _seed_from_config(cfg) -> int:
     seed = int(cfg.select("train.ddp.random_seed", 0) or 0)
     if seed == 0:
         seed = int(time.time()) % (2**31)
+        if jax.process_count() > 1:
+            # the wall-clock fallback must agree across processes: loaders
+            # are seeded with it, and shard_batch assumes every process
+            # holds the SAME global batch
+            from jax.experimental import multihost_utils
+
+            seed = int(
+                multihost_utils.broadcast_one_to_all(np.int32(seed))
+            )
     # always surface the effective value: with the reference's seed-0 →
     # wall-clock convention, reproducing a run depends on this line
     print(f"[run] effective random seed: {seed}", flush=True)
@@ -174,13 +185,18 @@ def train_modelnet(
 
     aug_cfg = dl.data_augmentation
     augment = make_batch_augment(aug_cfg) if aug_cfg.enable else None
-    train_step = make_train_step(model, cfg, "cls", 40, augment_fn=augment)
-    eval_step = make_eval_step(model_eval, "cls")
+    train_step = BarrierOnFirstCall(
+        make_train_step(model, cfg, "cls", 40, augment_fn=augment), "cls_train"
+    )
+    eval_step = BarrierOnFirstCall(make_eval_step(model_eval, "cls"), "cls_eval")
     vote_cfg = dl.get("vote")
     vote_enable = bool(vote_cfg.enable) if vote_cfg is not None else False
     if vote_enable:
-        vote_step = make_vote_eval_step(
-            model_eval, "cls", int(vote_cfg.num_vote), make_vote_augment(aug_cfg)
+        vote_step = BarrierOnFirstCall(
+            make_vote_eval_step(
+                model_eval, "cls", int(vote_cfg.num_vote), make_vote_augment(aug_cfg)
+            ),
+            "cls_vote",
         )
 
     # record run-level flags in run_config.json so resume/eval with
@@ -225,11 +241,13 @@ def train_modelnet(
                     f"{float(out['loss'])}"
                 )
             losses.append(out["loss"])
-            preds_all.append(np.asarray(out["preds"]))
-            labels_all.append(label)
+            # fetch (not np.asarray): batch-sharded outputs are not
+            # process-addressable under multi-host; fetch all-gathers first
+            preds_all.append(fetch(out["preds"]))
+            labels_all.append(fetch(label))
         train_loss = float(np.mean([float(l) for l in losses]))
         train_acc = metrics_mod.accuracy(
-            np.concatenate(preds_all), np.concatenate([np.asarray(l) for l in labels_all])
+            np.concatenate(preds_all), np.concatenate(labels_all)
         )
         epoch_metrics = {
             "epoch": epoch,
@@ -251,9 +269,9 @@ def train_modelnet(
                     out = vote_step(state, points_d, None, key)
                 else:
                     out = eval_step(state, points_d, None, key)
-                preds_all.append(np.asarray(out["preds"])[valid])
+                preds_all.append(fetch(out["preds"])[valid])
                 labels_all.append(label[valid])
-                logits_all.append(np.asarray(out["logits"])[valid])
+                logits_all.append(fetch(out["logits"])[valid])
             labels_cat = np.concatenate(labels_all)
             val_acc = metrics_mod.accuracy(np.concatenate(preds_all), labels_cat)
             val_loss = _host_ce(np.concatenate(logits_all), labels_cat)
@@ -264,6 +282,7 @@ def train_modelnet(
             )
             if is_best:
                 ckpt.save(epoch, state, metric=val_acc)
+                logger.publish_checkpoint(ckpt.directory, epoch, val_acc)
         logger.log(epoch_metrics)
 
     logger.close()
@@ -325,13 +344,18 @@ def train_shapenet(
 
     aug_cfg = dl.data_augmentation
     augment = make_batch_augment(aug_cfg) if aug_cfg.enable else None
-    train_step = make_train_step(model, cfg, "seg", 50, augment_fn=augment)
-    eval_step = make_eval_step(model_eval, "seg")
+    train_step = BarrierOnFirstCall(
+        make_train_step(model, cfg, "seg", 50, augment_fn=augment), "seg_train"
+    )
+    eval_step = BarrierOnFirstCall(make_eval_step(model_eval, "seg"), "seg_eval")
     vote_cfg = dl.get("vote")
     vote_enable = bool(vote_cfg.enable) if vote_cfg is not None else False
     if vote_enable:
-        vote_step = make_vote_eval_step(
-            model_eval, "seg", int(vote_cfg.num_vote), make_vote_augment(aug_cfg)
+        vote_step = BarrierOnFirstCall(
+            make_vote_eval_step(
+                model_eval, "seg", int(vote_cfg.num_vote), make_vote_augment(aug_cfg)
+            ),
+            "seg_vote",
         )
 
     parts_mask = metrics_mod.parts_matrix(cfg.datasets.mapping)
@@ -380,8 +404,8 @@ def train_shapenet(
                     f"non-finite train loss at epoch {epoch} step {bi}"
                 )
             losses.append(float(out["loss"]))
-            ious.append(np.asarray(shape_iou_fn(out["preds"], seg, label)))
-            cats.append(np.asarray(label))
+            ious.append(fetch(shape_iou_fn(out["preds"], seg, label)))
+            cats.append(fetch(label))
         train_loss = float(np.mean(losses))
         train_miou = float(np.concatenate(ious).mean())
         epoch_metrics = {
@@ -406,17 +430,17 @@ def train_shapenet(
                     out = vote_step(state, points_d, label_d, key)
                 else:
                     out = eval_step(state, points_d, label_d, key)
-                preds = np.asarray(out["preds"])
-                iou = np.asarray(shape_iou_fn(out["preds"], seg, label))
+                preds = fetch(out["preds"])
+                iou = fetch(shape_iou_fn(out["preds"], seg, label))
                 all_iou.append(iou[valid])
                 all_cat.append(label[valid])
                 val_losses.append(
-                    _host_ce(np.asarray(out["logits"])[valid], seg[valid])
+                    _host_ce(fetch(out["logits"])[valid], seg[valid])
                 )
                 if "ds_idx" in out:
                     # per-ds-layer mIoU with index remapping through layers
                     remapped = metrics_mod.downsampled_iou_labels(
-                        preds, seg, [np.asarray(ix) for ix in out["ds_idx"]]
+                        preds, seg, [fetch(ix) for ix in out["ds_idx"]]
                     )
                     for l, (p_l, s_l) in enumerate(remapped):
                         ds_preds[l].append(p_l[valid])
@@ -440,12 +464,13 @@ def train_shapenet(
                 if ds_preds[l]:
                     p_l = np.concatenate(ds_preds[l])
                     s_l = np.concatenate(ds_labels[l])
-                    iou_l = np.asarray(
+                    iou_l = fetch(
                         shape_iou_fn(jnp.asarray(p_l), jnp.asarray(s_l), jnp.asarray(all_cat))
                     )
                     epoch_metrics[f"val/dsLayer{l + 1}_mIoU"] = float(iou_l.mean())
             if is_best:
                 ckpt.save(epoch, state, metric=val_miou)
+                logger.publish_checkpoint(ckpt.directory, epoch, val_miou)
         logger.log(epoch_metrics)
 
     logger.close()

@@ -30,8 +30,45 @@ def _git_rev() -> str:
         return "unknown"
 
 
+def _link_tree(src: str, dst: str) -> None:
+    """Hard-link ``src`` into ``dst`` (copy fallback across filesystems).
+
+    Hard links make the artifact immune to orbax's ``max_to_keep`` eviction
+    of the original step directory (the inodes survive) at zero disk cost.
+    """
+    import shutil
+
+    for root, _dirs, files in os.walk(src):
+        rel = os.path.relpath(root, src)
+        out = os.path.join(dst, rel) if rel != "." else dst
+        os.makedirs(out, exist_ok=True)
+        for f in files:
+            s, d = os.path.join(root, f), os.path.join(out, f)
+            try:
+                os.link(s, d)
+            except OSError:
+                shutil.copy2(s, d)
+
+
 class MetricLogger:
     def __init__(self, workdir: str, cfg: Any = None):
+        # primary-process-only, like the reference's rank-0 wandb/logging
+        # guard (train_modelnet.py:85-99): under multi-host every process
+        # sees identical global metrics, so secondary writers would only
+        # interleave duplicates into the shared workdir
+        try:
+            import jax
+
+            self.primary = jax.process_index() == 0
+        except Exception:  # pragma: no cover
+            self.primary = True
+        self.workdir = workdir
+        if not self.primary:
+            self._jsonl = None
+            self._csv_file = None
+            self._csv_writer = None
+            self.wandb_run = None
+            return
         os.makedirs(workdir, exist_ok=True)
         self.jsonl_path = os.path.join(workdir, "metrics.jsonl")
         self.csv_path = os.path.join(workdir, "metrics.csv")
@@ -84,6 +121,8 @@ class MetricLogger:
                         zf.write(p, os.path.relpath(p, os.path.dirname(pkg_root)))
 
     def log(self, metrics: Dict[str, Any]):
+        if not self.primary:
+            return
         rec = {k: (float(v) if hasattr(v, "item") else v) for k, v in metrics.items()}
         rec["ts"] = time.time()
         self._jsonl.write(json.dumps(rec) + "\n")
@@ -101,7 +140,67 @@ class MetricLogger:
         if self.wandb_run is not None:
             self.wandb_run.log(metrics)
 
+    def publish_checkpoint(self, ckpt_root: str, step: int, metric: float):
+        """Package the new best checkpoint as one addressable artifact.
+
+        Reference parity: the best checkpoint is uploaded (with the run's
+        code/config) as a wandb artifact (train_modelnet.py:525-546).  Here
+        the artifact is a self-contained directory,
+        ``<workdir>/artifacts/best/``, laid out exactly like a run dir —
+        ``run_config.json`` + ``checkpoints/<step>`` + sidecar + manifest —
+        so ``Server.from_run(artifact_dir)`` and ``ckpt=<artifact_dir>``
+        eval work on it directly (the "download" is a directory copy).
+        Uploaded to wandb as a ``model`` artifact when wandb is enabled.
+        Returns the artifact path (primary process only; None elsewhere).
+        """
+        if not self.primary:
+            return None
+        import shutil
+
+        art = os.path.join(self.workdir, "artifacts", "best")
+        shutil.rmtree(art, ignore_errors=True)  # the best pointer moved
+        src_step = os.path.join(ckpt_root, str(step))
+        if not os.path.isdir(src_step):
+            print(f"[logging] no checkpoint step dir at {src_step}; "
+                  "artifact not published")
+            return None
+        _link_tree(src_step, os.path.join(art, "checkpoints", str(step)))
+        for name in ("best_metric.json",):
+            p = os.path.join(ckpt_root, name)
+            if os.path.isfile(p):
+                shutil.copy2(p, os.path.join(art, "checkpoints", name))
+        for name in ("run_config.json", "source_snapshot.zip"):
+            p = os.path.join(self.workdir, name)
+            if os.path.isfile(p):
+                shutil.copy2(p, os.path.join(art, name))
+        with open(os.path.join(art, "manifest.json"), "w") as f:
+            json.dump(
+                {
+                    "step": int(step),
+                    "metric": float(metric),
+                    "git": _git_rev(),
+                    "ts": time.time(),
+                },
+                f,
+                indent=2,
+            )
+        if self.wandb_run is not None:
+            try:
+                import wandb
+
+                a = wandb.Artifact(
+                    f"checkpoint-{self.wandb_run.name or 'run'}", type="model",
+                    metadata={"step": int(step), "metric": float(metric)},
+                )
+                a.add_dir(art)
+                self.wandb_run.log_artifact(a)
+            except Exception as e:  # pragma: no cover
+                print(f"[logging] wandb artifact upload failed ({e})")
+        return art
+
     def close(self):
+        if not self.primary:
+            return
         self._jsonl.close()
         if self._csv_file:
             self._csv_file.close()

@@ -96,3 +96,21 @@ def test_server_from_run(tmp_path):
     pts = np.random.default_rng(1).normal(size=(8, 128, 3)).astype(np.float32)
     logits = srv(pts)
     assert logits.shape == (8, 40) and np.isfinite(logits).all()
+
+    # best-checkpoint artifact (reference train_modelnet.py:525-546 parity):
+    # a self-contained run-dir-shaped directory that serves directly
+    art = os.path.join(workdir, "artifacts", "best")
+    manifest = json.load(open(os.path.join(art, "manifest.json")))
+    assert manifest["step"] >= 0 and 0.0 <= manifest["metric"] <= 1.0
+    assert os.path.isfile(os.path.join(art, "run_config.json"))
+    assert os.path.isdir(
+        os.path.join(art, "checkpoints", str(manifest["step"]))
+    )
+    # simulate a "download": the artifact must work from a moved copy too
+    import shutil
+
+    downloaded = str(tmp_path / "downloaded_artifact")
+    shutil.copytree(art, downloaded)
+    srv2 = Server.from_run(downloaded, dtype=np.float32)
+    logits2 = srv2(pts)
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(logits2))
