@@ -60,9 +60,10 @@ import time
 
 REFERENCE_CLOUDS_PER_SEC = 191.78  # round-1 anchor (BENCH_r01.json)
 V5E_BF16_PEAK_FLOPS = 197e12  # TPU v5e per-chip peak, bf16
-TIME_BUDGET_S = 1200  # global wall-clock ceiling for the whole bench
+TIME_BUDGET_S = 1500  # global wall-clock ceiling for the whole bench
 PRIMARY_TIMEOUT_S = 480  # hard deadline for the primary child
-EXTRA_TIMEOUT_S = 280  # hard deadline per extra child
+EXTRA_TIMEOUT_S = 420  # hard deadline per extra child (cold fwd+bwd
+# compiles in a fresh subprocess run 200-400s on this box)
 
 _T0 = time.time()
 
@@ -470,14 +471,14 @@ def _extra_registry():
         "cls_2048": lambda: dict(zip(
             ("clouds_per_sec", "batch_size"),
             (lambda r: (round(r[0], 2), r[1]))(
-                bench_cls_inference(2048, [1024, 512], (32, 64), dtype,
+                bench_cls_inference(2048, [1024, 512], (64,), dtype,
                                     "cls-2048")[:2]
             ),
         )),
         "cls_4096": lambda: dict(zip(
             ("clouds_per_sec", "batch_size"),
             (lambda r: (round(r[0], 2), r[1]))(
-                bench_cls_inference(4096, [2048, 1024], (16, 32), dtype,
+                bench_cls_inference(4096, [2048, 1024], (32,), dtype,
                                     "cls-4096")[:2]
             ),
         )),

@@ -44,7 +44,7 @@ from samble_tpu.train.checkpoint import CheckpointManager
 from samble_tpu.train.schedules import make_optimizer
 from samble_tpu.train.state import create_train_state
 from samble_tpu.train.step import make_eval_step, make_train_step, make_vote_eval_step
-from samble_tpu.utils.logging import MetricLogger
+from samble_tpu.utils.logging import MetricLogger, ProgressBar
 
 
 def _host_ce(logits: np.ndarray, labels: np.ndarray) -> float:
@@ -226,6 +226,7 @@ def train_modelnet(
     for epoch in range(start_epoch, epochs):
         t0 = time.time()
         losses, preds_all, labels_all = [], [], []
+        bar = ProgressBar(len(train_loader), f"epoch {epoch + 1}/{epochs}")
         for bi, batch in enumerate(train_loader):
             points, label, _ = batch
             points, label = shard_batch(mesh, (points, label))
@@ -245,6 +246,13 @@ def train_modelnet(
             # process-addressable under multi-host; fetch all-gathers first
             preds_all.append(fetch(out["preds"]))
             labels_all.append(fetch(label))
+            # display the PREVIOUS step's loss: it is materialized by now,
+            # so the bar never forces a sync on the in-flight step
+            bar.update(
+                bi + 1,
+                loss=float(losses[-2]) if len(losses) > 1 else None,
+            )
+        bar.finish()
         train_loss = float(np.mean([float(l) for l in losses]))
         train_acc = metrics_mod.accuracy(
             np.concatenate(preds_all), np.concatenate(labels_all)
@@ -390,6 +398,7 @@ def train_shapenet(
     for epoch in range(start_epoch, epochs):
         t0 = time.time()
         losses, ious, cats = [], [], []
+        bar = ProgressBar(len(train_loader), f"epoch {epoch + 1}/{epochs}")
         for bi, batch in enumerate(train_loader):
             points, label, seg, _ = batch
             if use_fps:
@@ -406,6 +415,8 @@ def train_shapenet(
             losses.append(float(out["loss"]))
             ious.append(fetch(shape_iou_fn(out["preds"], seg, label)))
             cats.append(fetch(label))
+            bar.update(bi + 1, loss=losses[-1])
+        bar.finish()
         train_loss = float(np.mean(losses))
         train_miou = float(np.concatenate(ious).mean())
         epoch_metrics = {

@@ -30,6 +30,61 @@ def _git_rev() -> str:
         return "unknown"
 
 
+class ProgressBar:
+    """pkbar-parity per-step console progress (train_modelnet.py:314-320).
+
+    In-place ``\\r`` line on a TTY; on plain pipes one line every
+    ``print_every`` steps so JSONL/log files stay readable.  Primary
+    process only (reference rank-0 guard).  Callers must pass host scalars
+    that are already materialized — never force a device sync for display.
+    """
+
+    def __init__(self, total: int, prefix: str, print_every: int = 50):
+        import sys
+
+        try:
+            import jax
+
+            primary = jax.process_index() == 0
+        except Exception:  # pragma: no cover
+            primary = True
+        self.total = max(int(total), 1)
+        self.prefix = prefix
+        self.print_every = print_every
+        self._stream = sys.stderr
+        self._tty = primary and self._stream.isatty()
+        self._enabled = primary
+        self._t0 = time.time()
+        self._last = 0.0
+
+    def update(self, step: int, **metrics) -> None:
+        if not self._enabled:
+            return
+        now = time.time()
+        if self._tty:
+            if now - self._last < 0.5 and step < self.total:
+                return
+        elif step % self.print_every and step < self.total:
+            return
+        self._last = now
+        rate = step / max(now - self._t0, 1e-9)
+        eta = (self.total - step) / max(rate, 1e-9)
+        parts = [f"{self.prefix} [{step}/{self.total}]"]
+        parts += [f"{k} {v:.4f}" for k, v in metrics.items() if v is not None]
+        parts.append(f"{rate:.1f} it/s eta {eta:.0f}s")
+        line = "  ".join(parts)
+        if self._tty:
+            self._stream.write("\r" + line.ljust(100))
+        else:
+            self._stream.write(line + "\n")
+        self._stream.flush()
+
+    def finish(self) -> None:
+        if self._enabled and self._tty:
+            self._stream.write("\n")
+            self._stream.flush()
+
+
 def _link_tree(src: str, dst: str) -> None:
     """Hard-link ``src`` into ``dst`` (copy fallback across filesystems).
 
