@@ -1,0 +1,186 @@
+"""Sub-component decomposition of DownSampleToken (the top whole-step cost).
+
+tools/profile_cls_eval.py showed the two DownSampleToken layers are 41% of
+the primary eval step (34.9 + 16.0 ms at bs=256) and, unlike the
+selection-bound EdgeConv/N2P kernels, sit at only ~35% of their HBM
+roofline — so something inside is harvestable.  This probe times each
+stage of the module at the real primary shapes:
+
+  * fused score kernel (kNN + softmax colsums), fast_sel on/off and with
+    different bisection budgets
+  * the bin machinery (zscore, boundaries, partition, weights, budgets)
+  * Gumbel index generation (argsort-based rank-within-bin)
+  * the M selected attention rows recompute (XLA softmax) + @V
+  * q/k/v projections
+
+Run on an otherwise-idle TPU:  python tools/probe_ds_token.py
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_tpu_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+import jax.numpy as jnp
+
+from samble_tpu import ops
+from samble_tpu.kernels.score import (
+    score_from_colsums,
+    sparse_attention_score_fused,
+)
+from samble_tpu.utils.profiling import timeit_chained
+
+BS = 256
+NUM_BINS = 6
+KNN_K = 32
+DT = jnp.bfloat16
+
+
+def probe_layer(n: int, m: int):
+    print(f"\n=== DownSampleToken @N={n} -> M={m}, bs={BS} ===")
+    rng = np.random.default_rng(0)
+    c = 128
+    nt = n + NUM_BINS
+    scale = 1.0 / np.sqrt(c)
+
+    x = jnp.asarray(rng.normal(size=(BS, n, c)).astype(np.float32))
+    q = jnp.asarray(rng.normal(size=(BS, n, c)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(BS, nt, c)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(BS, nt, c)).astype(np.float32)).astype(DT)
+
+    res = {}
+
+    def t(tag, fn, x0, iters=10):
+        dt = timeit_chained(fn, x0, iters=iters)
+        res[tag] = dt * 1e3
+        print(f"{tag:>38s}: {dt * 1e3:7.2f} ms")
+        return dt
+
+    # 0. kNN feature normalization
+    t("knn_normalized", lambda xx: ops.neighbors.knn_normalized(xx), x)
+    xn = ops.neighbors.knn_normalized(x)
+
+    # 1. fused score kernel variants (chain on q)
+    def score_fast(q_):
+        cm, cf, cc = sparse_attention_score_fused(q_, k, xn, KNN_K, scale,
+                                                  fast_sel=True)
+        return cm * 1e-6 + cc * 1e-6
+
+    def score_slow(q_):
+        cm, cf, cc = sparse_attention_score_fused(q_, k, xn, KNN_K, scale,
+                                                  fast_sel=False)
+        return cm * 1e-6 + cc * 1e-6
+
+    t("score kernel (bisect 16)", score_fast, q)
+    t("score kernel (K-round extract)", score_slow, q)
+
+    # bisection budget sweep (monkeypatch the default)
+    from samble_tpu.kernels import keys as keys_mod
+
+    orig = keys_mod.kth_smallest_key_fast
+    for rounds in (8, 12, 20):
+        keys_mod.kth_smallest_key_fast = functools.partial(orig,
+                                                           bisect_rounds=rounds)
+        try:
+            t(f"score kernel (bisect {rounds})",
+              lambda q_: sparse_attention_score_fused.__wrapped__(
+                  q_, k, xn, KNN_K, scale, False, True)[0] * 1e-6, q)
+        finally:
+            keys_mod.kth_smallest_key_fast = orig
+
+    # 2. score postprocess + bin machinery
+    cm, cf, cc = sparse_attention_score_fused(q, k, xn, KNN_K, scale)
+    cm, cf, cc = jax.block_until_ready((cm, cf, cc))
+    bins_pre = (jnp.einsum("bnc,btc->bnt", q, k[:, n:]) * scale)
+
+    def bin_machinery(cm_):
+        score = score_from_colsums(cm_, cf, cc, "sparse_col_sqr")[:, None]
+        scores_z = ops.zscore(score, axis=2)
+        bounds = ops.compute_bin_boundaries_from_scores(scores_z, NUM_BINS)
+        _, bin_mask = ops.bin_partition(score, bounds, NUM_BINS,
+                                        dynamic=False, momentum=0.99,
+                                        update=False)
+        bw, bp = ops.bin_weights_calculation(bins_pre[:, None], bin_mask,
+                                             "mean_relu")
+        mx = jnp.sum(bin_mask[:, 0], axis=1).astype(jnp.int32)
+        kc = ops.calculate_num_points_to_choose(bw, mx, m)
+        return (jnp.sum(score) + jnp.sum(bw) + jnp.sum(kc.astype(jnp.float32))
+                + jnp.sum(bin_mask)) * 1e-6
+
+    t("bin machinery (score->budgets)", bin_machinery, cm)
+
+    # 3. index generation (Gumbel + rank-within-bin)
+    score = score_from_colsums(cm, cf, cc, "sparse_col_sqr")[:, None]
+    scores_z = ops.zscore(score, axis=2)
+    bounds = ops.compute_bin_boundaries_from_scores(scores_z, NUM_BINS)
+    _, bin_mask = ops.bin_partition(score, bounds, NUM_BINS, dynamic=False,
+                                    momentum=0.99, update=False)
+    bw, _ = ops.bin_weights_calculation(bins_pre[:, None], bin_mask,
+                                        "mean_relu")
+    mx = jnp.sum(bin_mask[:, 0], axis=1).astype(jnp.int32)
+    kc = ops.calculate_num_points_to_choose(bw, mx, m)
+    kc = jax.block_until_ready(kc)
+    key0 = jax.random.key(7)
+
+    def gen_idx(score_):
+        idx = ops.generate_downsampled_index(
+            key0, m, score_, bin_mask, kc, "random", 0.1)
+        return jnp.sum(idx.astype(jnp.float32)) * 1e-6
+
+    t("generate_downsampled_index", gen_idx, score)
+
+    idx = ops.generate_downsampled_index(key0, m, score, bin_mask, kc,
+                                         "random", 0.1)
+    idx = jax.block_until_ready(idx)
+
+    # 4. selected-row attention recompute (current XLA f32 path) + @V
+    qb, kb = q.astype(DT), k.astype(DT)
+
+    def attn_rows_f32(q_):
+        q_sel = ops.gather_by_idx(q_, idx)
+        attn = jax.nn.softmax(
+            jnp.einsum("bmc,btc->bmt", q_sel, kb).astype(jnp.float32) * scale,
+            axis=-1).astype(DT)
+        x_ds = jnp.einsum("bmn,bnc->bmc", attn, v)
+        return jnp.sum(x_ds.astype(jnp.float32)) * 1e-6
+
+    t("attn rows recompute+@V (f32 sm)", attn_rows_f32, qb)
+
+    # 5. projections: 3 Conv1x1-equivalent matmuls (q on N rows, k/v on NT)
+    wq = jnp.asarray(rng.normal(size=(c, c)).astype(np.float32)).astype(DT)
+    xt = jnp.asarray(rng.normal(size=(BS, nt, c)).astype(np.float32))
+
+    def projections(x_):
+        a = x_.astype(DT) @ wq
+        bq = xt.astype(DT) @ wq
+        cv = xt.astype(DT) @ wq
+        return (jnp.sum(a.astype(jnp.float32)) + jnp.sum(bq.astype(jnp.float32))
+                + jnp.sum(cv.astype(jnp.float32))) * 1e-6
+
+    t("q/k/v projections", projections, x)
+
+    known = (res["knn_normalized"] + res["score kernel (bisect 16)"]
+             + res["bin machinery (score->budgets)"]
+             + res["generate_downsampled_index"]
+             + res["attn rows recompute+@V (f32 sm)"]
+             + res["q/k/v projections"])
+    print(f"{'sum of pipeline stages':>38s}: {known:7.2f} ms")
+    return res
+
+
+def main():
+    probe_layer(1024, 512)
+    probe_layer(512, 256)
+
+
+if __name__ == "__main__":
+    main()
