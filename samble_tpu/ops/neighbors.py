@@ -276,5 +276,20 @@ def gather_by_idx(pcd: jax.Array, idx: jax.Array) -> jax.Array:
     :returns: (B, M, C)
 
     Reference: utils/ops.py:136-145 (channels-first gather).
+
+    bf16 payloads ride the MXU as a one-hot matmul (measured 0.3 vs 1.3 ms
+    at (256, 1024→512, 128) against the serial TPU row gather) — bit-exact,
+    since each output row is 1.0 × exactly one input row accumulated in
+    f32.  f32 payloads keep take_along_axis: TPU f32 matmuls decompose
+    into bf16 passes, which would break the gather's bitwise exactness.
     """
+    if pcd.dtype == jnp.bfloat16 and pcd.shape[1] <= 4096:
+        onehot = (
+            idx[:, :, None]
+            == jnp.arange(pcd.shape[1], dtype=jnp.int32)
+        ).astype(jnp.bfloat16)
+        return jnp.einsum(
+            "bmn,bnc->bmc", onehot, pcd,
+            preferred_element_type=jnp.float32,
+        ).astype(pcd.dtype)
     return jnp.take_along_axis(pcd, idx[..., None], axis=1)

@@ -59,6 +59,52 @@ def _inverse_permutation(order: jax.Array) -> jax.Array:
     return jax.vmap(lambda o, p: jnp.zeros((n,), jnp.int32).at[o].set(p))(order, pos)
 
 
+def _ordered_bin_select(pert, bin_id, budgets, num_bins: int, m: int):
+    """(B, M) indices: per bin j, the ``budgets[b, j]`` best-``pert`` points,
+    ordered bin 0 first and by descending ``pert`` within each bin; any
+    budget deficit (a bin smaller than its budget) is filled with the
+    best-``pert`` unselected points.
+
+    Shared tail of :func:`generate_downsampled_index` and the legacy bin
+    samplers.  Runs entirely in *sorted space*: one descending sort carries
+    the original indices along, the within-bin rank is a per-bin cumulative
+    count over the sorted rows, and a second sort by a composite
+    (bin, rank | fallback) key — unique by construction, so stability is
+    irrelevant — brings the selection into output order.  No scatters and
+    no (B, N, num_bins) cumsum tensor (the previous formulation's vmapped
+    ``.at[].set`` permutation inversions dominated the DownSampleToken
+    stage budget, tools/probe_ds_token.py).
+    """
+    b, n = pert.shape
+    pos = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (b, n))
+    # One stable sort carries BOTH payloads — take_along_axis gathers of
+    # (B, N) permutations lower to serial TPU gathers (~2.4 ms each at
+    # (256, 1024), tools/probe_ds_token.py micro-probes) while extra sort
+    # payload lanes are nearly free.
+    _, order, sorted_bins = jax.lax.sort(
+        (-pert, pos, bin_id), num_keys=1, is_stable=True
+    )
+
+    # within-bin rank: per-bin running count via associative_scan
+    # (jnp.cumsum and any take_along on the small budget table are the
+    # slow paths here, not the sorts)
+    oh = sorted_bins[:, :, None] == jnp.arange(num_bins, dtype=jnp.int32)
+    cum = jax.lax.associative_scan(jnp.add, oh.astype(jnp.int32), axis=1)
+    rank_sorted = jnp.sum(jnp.where(oh, cum - 1, 0), axis=2)
+
+    budget_sorted = jnp.zeros((b, n), jnp.int32)
+    for j in range(num_bins):
+        budget_sorted = jnp.where(
+            sorted_bins == j, budgets[:, j:j + 1], budget_sorted
+        )
+    selected = rank_sorted < budget_sorted
+    sel_key = sorted_bins * (n + 1) + rank_sorted
+    fallback_key = num_bins * (n + 1) + pos  # pos == global rank here
+    order_key = jnp.where(selected, sel_key, fallback_key)
+    _, idx = jax.lax.sort((order_key, order), num_keys=1)
+    return idx[:, :m].astype(jnp.int32)
+
+
 def rank_within_bins(pert: jax.Array, bin_id: jax.Array, num_bins: int):
     """Rank of each point within its own bin, ordering by ``pert`` descending.
 
@@ -146,7 +192,11 @@ def generate_downsampled_index(
     num_bins = bin_mask.shape[-1]
     s = scores[:, 0, :]  # (B, N)
     mask2 = bin_mask[:, 0]  # (B, N, nb)
-    bin_id = jnp.argmax(mask2, axis=-1).astype(jnp.int32)  # (B, N)
+    # membership is one-hot, so the bin id is a masked sum (argmax lowers
+    # to a slower multi-pass reduce on TPU)
+    bin_id = jnp.sum(
+        jnp.where(mask2, jnp.arange(num_bins, dtype=jnp.int32), 0), axis=-1
+    )
 
     if sample_mode == "topk":
         pert = s
@@ -155,25 +205,16 @@ def generate_downsampled_index(
     elif sample_mode == "random":
         t = jnp.tanh(zscore(s, axis=-1))  # (B, N)
         inv_t = _boltzmann_inverse_t(boltzmann_t, bin_mask, n, num_bins)  # (B, nb)
-        logit = t * jnp.take_along_axis(inv_t, bin_id, axis=1)
-        pert = logit + jax.random.gumbel(key, (b, n), dtype=jnp.float32)
+        # row-wise table lookup as a masked sum (take_along_axis on a
+        # (B, nb) table lowers to a serial TPU gather)
+        inv_t_pt = jnp.sum(jnp.where(mask2, inv_t[:, None, :], 0.0), axis=-1)
+        pert = t * inv_t_pt + jax.random.gumbel(key, (b, n), dtype=jnp.float32)
     else:
         raise ValueError(
             "sample_mode must be topk, uniform or random, got " f"{sample_mode}"
         )
 
-    rank, global_rank = rank_within_bins(pert, bin_id, num_bins)
-    budget = jnp.take_along_axis(k_counts, bin_id, axis=1)  # (B, N)
-    selected = rank < budget
-
-    # Composite ordering key: selected points sort by (bin, rank-in-bin);
-    # unselected points follow, ordered by global rank, as a validity-
-    # preserving fallback.
-    sel_key = bin_id * (n + 1) + rank
-    fallback_key = num_bins * (n + 1) + global_rank
-    order_key = jnp.where(selected, sel_key, fallback_key)
-    idx = jnp.argsort(order_key, axis=1)[:, :m].astype(jnp.int32)
-    return idx
+    return _ordered_bin_select(pert, bin_id, k_counts, num_bins, m)
 
 
 def _sorted_chunk_bins(scores: jax.Array, num_bins: int):
@@ -234,14 +275,7 @@ def _balance_budgets(budgets: jax.Array, counts: jax.Array, m: int):
 def _select_by_bin_budget(pert, bin_id, budgets, num_bins, m):
     """(B, M) indices: per bin, the ``budgets[b, j]`` best-``pert`` points,
     ordered bin 0 first.  Shared tail of the legacy bin samplers."""
-    n = pert.shape[1]
-    rank, global_rank = rank_within_bins(pert, bin_id, num_bins)
-    budget = jnp.take_along_axis(budgets, bin_id, axis=1)  # (B, N)
-    selected = rank < budget
-    sel_key = bin_id * (n + 1) + rank
-    fallback_key = num_bins * (n + 1) + global_rank
-    order_key = jnp.where(selected, sel_key, fallback_key)
-    return jnp.argsort(order_key, axis=1)[:, :m].astype(jnp.int32)
+    return _ordered_bin_select(pert, bin_id, budgets, num_bins, m)
 
 
 def bin_idx_selection(

@@ -46,15 +46,20 @@ def trace(logdir: str):
         jax.profiler.stop_trace()
 
 
-def timeit_chained(fn_out, x0, iters: int = 10, warmup: int = 2) -> float:
+def timeit_chained(fn_out, x0, iters: int = 10, warmup: int = 2,
+                   consts: tuple = ()) -> float:
     """Trustworthy TPU timing on this stack: chain iterations (each call's
     input is perturbed by a summary of the previous output, so no call can
     be elided or served from a cache) and fence with ONE host readback of a
     tiny pre-materialized buffer.  Plain dispatch+block_until_ready loops
     mis-measure on the tunnelled backend (see bench.py docstring).
 
-    :param fn_out: ``x -> output array`` (pure, jit-compatible)
+    :param fn_out: ``(x, *consts) -> output array`` (pure, jit-compatible)
     :param x0: initial input array (on device)
+    :param consts: additional device arrays, threaded as real jit arguments.
+        Do NOT close over large arrays in ``fn_out`` instead — closure
+        constants are serialized into the remote-compile request on the
+        tunnelled backend and trip its size limit (HTTP 413).
     :returns: seconds per call
     """
     import time
@@ -63,17 +68,17 @@ def timeit_chained(fn_out, x0, iters: int = 10, warmup: int = 2) -> float:
     import numpy as np
 
     @jax.jit
-    def step(x):
-        out = fn_out(x)
+    def step(x, *cs):
+        out = fn_out(x, *cs)
         s = jnp.mean(out.astype(jnp.float32))
         return x + 1e-6 * s, s.reshape(1)
 
     c = x0
     for _ in range(warmup):
-        c, s = step(c)
+        c, s = step(c, *consts)
         np.asarray(s)
     t0 = time.perf_counter()
     for _ in range(iters):
-        c, s = step(c)
+        c, s = step(c, *consts)
     np.asarray(s)
     return (time.perf_counter() - t0) / iters

@@ -13,6 +13,10 @@ stage of the module at the real primary shapes:
   * the M selected attention rows recompute (XLA softmax) + @V
   * q/k/v projections
 
+All large operands are threaded through ``timeit_chained(..., consts=...)``
+— closing over them bakes them into the remote-compile request on the
+tunnelled backend and trips its size limit (HTTP 413).
+
 Run on an otherwise-idle TPU:  python tools/probe_ds_token.py
 """
 
@@ -46,7 +50,7 @@ DT = jnp.bfloat16
 
 
 def probe_layer(n: int, m: int):
-    print(f"\n=== DownSampleToken @N={n} -> M={m}, bs={BS} ===")
+    print(f"\n=== DownSampleToken @N={n} -> M={m}, bs={BS} ===", flush=True)
     rng = np.random.default_rng(0)
     c = 128
     nt = n + NUM_BINS
@@ -59,41 +63,42 @@ def probe_layer(n: int, m: int):
 
     res = {}
 
-    def t(tag, fn, x0, iters=10):
-        dt = timeit_chained(fn, x0, iters=iters)
+    def t(tag, fn, x0, consts=(), iters=10):
+        dt = timeit_chained(fn, x0, iters=iters, consts=consts)
         res[tag] = dt * 1e3
-        print(f"{tag:>38s}: {dt * 1e3:7.2f} ms")
+        print(f"{tag:>38s}: {dt * 1e3:7.2f} ms", flush=True)
         return dt
 
     # 0. kNN feature normalization
     t("knn_normalized", lambda xx: ops.neighbors.knn_normalized(xx), x)
     xn = ops.neighbors.knn_normalized(x)
 
-    # 1. fused score kernel variants (chain on q)
-    def score_fast(q_):
-        cm, cf, cc = sparse_attention_score_fused(q_, k, xn, KNN_K, scale,
+    # 1. fused score kernel variants
+    def score_fast(q_, k_, xn_):
+        cm, cf, cc = sparse_attention_score_fused(q_, k_, xn_, KNN_K, scale,
                                                   fast_sel=True)
         return cm * 1e-6 + cc * 1e-6
 
-    def score_slow(q_):
-        cm, cf, cc = sparse_attention_score_fused(q_, k, xn, KNN_K, scale,
+    def score_slow(q_, k_, xn_):
+        cm, cf, cc = sparse_attention_score_fused(q_, k_, xn_, KNN_K, scale,
                                                   fast_sel=False)
         return cm * 1e-6 + cc * 1e-6
 
-    t("score kernel (bisect 16)", score_fast, q)
-    t("score kernel (K-round extract)", score_slow, q)
+    t("score kernel (bisect 16)", score_fast, q, (k, xn))
+    t("score kernel (K-round extract)", score_slow, q, (k, xn))
 
     # bisection budget sweep (monkeypatch the default)
     from samble_tpu.kernels import keys as keys_mod
 
     orig = keys_mod.kth_smallest_key_fast
-    for rounds in (8, 12, 20):
+    for rounds in (8, 12):
         keys_mod.kth_smallest_key_fast = functools.partial(orig,
                                                            bisect_rounds=rounds)
         try:
             t(f"score kernel (bisect {rounds})",
-              lambda q_: sparse_attention_score_fused.__wrapped__(
-                  q_, k, xn, KNN_K, scale, False, True)[0] * 1e-6, q)
+              lambda q_, k_, xn_: sparse_attention_score_fused.__wrapped__(
+                  q_, k_, xn_, KNN_K, scale, False, True)[0] * 1e-6,
+              q, (k, xn))
         finally:
             keys_mod.kth_smallest_key_fast = orig
 
@@ -101,22 +106,23 @@ def probe_layer(n: int, m: int):
     cm, cf, cc = sparse_attention_score_fused(q, k, xn, KNN_K, scale)
     cm, cf, cc = jax.block_until_ready((cm, cf, cc))
     bins_pre = (jnp.einsum("bnc,btc->bnt", q, k[:, n:]) * scale)
+    bins_pre = jax.block_until_ready(bins_pre)
 
-    def bin_machinery(cm_):
-        score = score_from_colsums(cm_, cf, cc, "sparse_col_sqr")[:, None]
+    def bin_machinery(cm_, cf_, cc_, bins_pre_):
+        score = score_from_colsums(cm_, cf_, cc_, "sparse_col_sqr")[:, None]
         scores_z = ops.zscore(score, axis=2)
         bounds = ops.compute_bin_boundaries_from_scores(scores_z, NUM_BINS)
         _, bin_mask = ops.bin_partition(score, bounds, NUM_BINS,
                                         dynamic=False, momentum=0.99,
                                         update=False)
-        bw, bp = ops.bin_weights_calculation(bins_pre[:, None], bin_mask,
+        bw, bp = ops.bin_weights_calculation(bins_pre_[:, None], bin_mask,
                                              "mean_relu")
         mx = jnp.sum(bin_mask[:, 0], axis=1).astype(jnp.int32)
         kc = ops.calculate_num_points_to_choose(bw, mx, m)
         return (jnp.sum(score) + jnp.sum(bw) + jnp.sum(kc.astype(jnp.float32))
                 + jnp.sum(bin_mask)) * 1e-6
 
-    t("bin machinery (score->budgets)", bin_machinery, cm)
+    t("bin machinery (score->budgets)", bin_machinery, cm, (cf, cc, bins_pre))
 
     # 3. index generation (Gumbel + rank-within-bin)
     score = score_from_colsums(cm, cf, cc, "sparse_col_sqr")[:, None]
@@ -131,12 +137,12 @@ def probe_layer(n: int, m: int):
     kc = jax.block_until_ready(kc)
     key0 = jax.random.key(7)
 
-    def gen_idx(score_):
+    def gen_idx(score_, bin_mask_, kc_):
         idx = ops.generate_downsampled_index(
-            key0, m, score_, bin_mask, kc, "random", 0.1)
+            key0, m, score_, bin_mask_, kc_, "random", 0.1)
         return jnp.sum(idx.astype(jnp.float32)) * 1e-6
 
-    t("generate_downsampled_index", gen_idx, score)
+    t("generate_downsampled_index", gen_idx, score, (bin_mask, kc))
 
     idx = ops.generate_downsampled_index(key0, m, score, bin_mask, kc,
                                          "random", 0.1)
@@ -145,35 +151,46 @@ def probe_layer(n: int, m: int):
     # 4. selected-row attention recompute (current XLA f32 path) + @V
     qb, kb = q.astype(DT), k.astype(DT)
 
-    def attn_rows_f32(q_):
-        q_sel = ops.gather_by_idx(q_, idx)
+    def attn_rows_f32(q_, kb_, v_, idx_):
+        q_sel = ops.gather_by_idx(q_, idx_)
         attn = jax.nn.softmax(
-            jnp.einsum("bmc,btc->bmt", q_sel, kb).astype(jnp.float32) * scale,
+            jnp.einsum("bmc,btc->bmt", q_sel, kb_).astype(jnp.float32)
+            * scale,
             axis=-1).astype(DT)
-        x_ds = jnp.einsum("bmn,bnc->bmc", attn, v)
+        x_ds = jnp.einsum("bmn,bnc->bmc", attn, v_)
         return jnp.sum(x_ds.astype(jnp.float32)) * 1e-6
 
-    t("attn rows recompute+@V (f32 sm)", attn_rows_f32, qb)
+    t("attn rows recompute+@V (f32 sm)", attn_rows_f32, qb, (kb, v, idx))
+
+    # 4b. same but bf16 softmax end to end
+    def attn_rows_bf16(q_, kb_, v_, idx_):
+        q_sel = ops.gather_by_idx(q_, idx_)
+        attn = jax.nn.softmax(
+            jnp.einsum("bmc,btc->bmt", q_sel, kb_) * scale, axis=-1)
+        x_ds = jnp.einsum("bmn,bnc->bmc", attn, v_)
+        return jnp.sum(x_ds.astype(jnp.float32)) * 1e-6
+
+    t("attn rows recompute+@V (bf16 sm)", attn_rows_bf16, qb, (kb, v, idx))
 
     # 5. projections: 3 Conv1x1-equivalent matmuls (q on N rows, k/v on NT)
     wq = jnp.asarray(rng.normal(size=(c, c)).astype(np.float32)).astype(DT)
     xt = jnp.asarray(rng.normal(size=(BS, nt, c)).astype(np.float32))
 
-    def projections(x_):
-        a = x_.astype(DT) @ wq
-        bq = xt.astype(DT) @ wq
-        cv = xt.astype(DT) @ wq
+    def projections(x_, xt_, wq_):
+        a = x_.astype(DT) @ wq_
+        bq = xt_.astype(DT) @ wq_
+        cv = xt_.astype(DT) @ wq_
         return (jnp.sum(a.astype(jnp.float32)) + jnp.sum(bq.astype(jnp.float32))
                 + jnp.sum(cv.astype(jnp.float32))) * 1e-6
 
-    t("q/k/v projections", projections, x)
+    t("q/k/v projections", projections, x, (xt, wq))
 
     known = (res["knn_normalized"] + res["score kernel (bisect 16)"]
              + res["bin machinery (score->budgets)"]
              + res["generate_downsampled_index"]
              + res["attn rows recompute+@V (f32 sm)"]
              + res["q/k/v projections"])
-    print(f"{'sum of pipeline stages':>38s}: {known:7.2f} ms")
+    print(f"{'sum of pipeline stages':>38s}: {known:7.2f} ms", flush=True)
     return res
 
 
