@@ -34,6 +34,7 @@ def use_pallas() -> bool:
         return False
 
 
+from samble_tpu.kernels.attn_rows import attn_rows_pallas  # noqa: E402
 from samble_tpu.kernels.edgeconv import (  # noqa: E402
     edgeconv_knn_pallas,
     edgeconv_pallas,
@@ -47,6 +48,7 @@ from samble_tpu.kernels.score import (  # noqa: E402
 
 __all__ = [
     "use_pallas",
+    "attn_rows_pallas",
     "edgeconv_knn_pallas",
     "edgeconv_pallas",
     "knn_pallas",

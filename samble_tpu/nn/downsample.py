@@ -238,18 +238,30 @@ class DownSampleToken(nn.Module):
         )  # (B, M)
 
         # --- gathered attention rows @ V ------------------------------------
-        if fused:
-            # recompute the M selected attention rows (cheaper than storing
-            # the full map; row-wise softmax is identical to the full one)
+        if fused and not self.train:
+            # eval: fused energy→softmax→@V, nothing O(M·NT) in HBM
+            # (kernels/attn_rows.py); training keeps the differentiable
+            # XLA recompute below
             q_sel = ops.gather_by_idx(q_proj, idx)  # (B, M, C)
-            attn_down = jax.nn.softmax(
-                jnp.einsum("bmc,btc->bmt", q_sel, k_proj).astype(jnp.float32)
-                * scale,
-                axis=-1,
+            x_ds = kernels.attn_rows_pallas(
+                q_sel, k_proj, v_proj, scale,
+                interpret=not kernels.use_pallas(),
             ).astype(self.dtype)
         else:
-            attn_down = ops.gather_by_idx(attn, idx).astype(self.dtype)
-        x_ds = jnp.einsum("bmn,bnc->bmc", attn_down, v_proj)  # (B, M, C)
+            if fused:
+                # recompute the M selected attention rows (cheaper than
+                # storing the full map; row-wise softmax is identical)
+                q_sel = ops.gather_by_idx(q_proj, idx)  # (B, M, C)
+                attn_down = jax.nn.softmax(
+                    jnp.einsum("bmc,btc->bmt", q_sel, k_proj).astype(
+                        jnp.float32
+                    )
+                    * scale,
+                    axis=-1,
+                ).astype(self.dtype)
+            else:
+                attn_down = ops.gather_by_idx(attn, idx).astype(self.dtype)
+            x_ds = jnp.einsum("bmn,bnc->bmc", attn_down, v_proj)  # (B, M, C)
 
         if self.res:
             x_ds = _res_block(self, x, x_ds, idx, self.ff, self.train)

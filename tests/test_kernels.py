@@ -422,3 +422,31 @@ class TestGatherScatter:
             np.asarray(jax.grad(loss_split)(w)),
             rtol=1e-5, atol=1e-6,
         )
+
+
+def test_attn_rows_pallas_matches_xla():
+    from samble_tpu.kernels.attn_rows import attn_rows_pallas
+
+    rng = np.random.default_rng(3)
+    b, m, nt, d, c = 2, 64, 70, 16, 24  # NT not 128-aligned → pad path
+    scale = 1.0 / np.sqrt(d)
+    q = jnp.asarray(rng.normal(size=(b, m, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, nt, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, nt, c)).astype(np.float32))
+
+    ref = jnp.einsum(
+        "bmt,btc->bmc",
+        jax.nn.softmax(jnp.einsum("bmd,btd->bmt", q, k) * scale, axis=-1),
+        v,
+    )
+    out = attn_rows_pallas(q, k, v, scale, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-5)
+
+    # bf16 payload path (the production eval dtype)
+    out16 = attn_rows_pallas(q.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
+                             v.astype(jnp.bfloat16), scale, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out16.astype(jnp.float32)), np.asarray(ref),
+        rtol=2e-2, atol=2e-2,
+    )

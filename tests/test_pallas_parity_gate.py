@@ -36,7 +36,7 @@ def test_pallas_parity_gate(run_dir):
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "tools", "pallas_parity_gate.py"),
          run_dir],
-        env=_tpu_env(), cwd=REPO, capture_output=True, text=True, timeout=1500,
+        env=_tpu_env(), cwd=REPO, capture_output=True, text=True, timeout=2700,
     )
     assert proc.returncode == 0, (
         f"parity gate failed for {run_dir}:\n{proc.stdout[-3000:]}\n"

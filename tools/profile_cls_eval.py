@@ -92,7 +92,7 @@ def time_eval(module, example_args, tag, results, bs, extra_rngs=("sampling",)):
         return jnp.sum(out.astype(jnp.float32)) * 1e-6
 
     x0 = jax.device_put(example_args[0])
-    dt = timeit_chained(fwd, x0, iters=10)
+    dt = timeit_chained(fwd, x0, iters=30)
     flops, bytes_ = _cost(fwd, x0)
     t_mxu = flops / PEAK_BF16
     t_hbm = bytes_ / HBM_BW
@@ -137,7 +137,7 @@ def main():
         return jnp.sum(logits) * 1e-6
 
     x0 = jax.device_put(pts)
-    full = timeit_chained(full_fwd, x0, iters=10)
+    full = timeit_chained(full_fwd, x0, iters=30)
     f_flops, f_bytes = _cost(full_fwd, x0)
     print(f"{'FULL eval forward':>24s}: {full * 1e3:7.2f} ms   "
           f"({bs / full:.1f} clouds/s, {f_flops / 1e9:.1f} GF, "
