@@ -39,6 +39,7 @@ from samble_tpu.kernels.edgeconv import (  # noqa: E402
     edgeconv_knn_pallas,
     edgeconv_pallas,
 )
+from samble_tpu.kernels.edgeconv_train import edgeconv_train  # noqa: E402
 from samble_tpu.kernels.knn import knn_pallas  # noqa: E402
 from samble_tpu.kernels.n2p import n2p_attention, n2p_attention_fused  # noqa: E402
 from samble_tpu.kernels.score import (  # noqa: E402
@@ -51,6 +52,7 @@ __all__ = [
     "attn_rows_pallas",
     "edgeconv_knn_pallas",
     "edgeconv_pallas",
+    "edgeconv_train",
     "knn_pallas",
     "n2p_attention",
     "n2p_attention_fused",

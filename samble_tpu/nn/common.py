@@ -22,6 +22,43 @@ def leaky_relu(x: jax.Array) -> jax.Array:
     return nn.leaky_relu(x, negative_slope=0.2)
 
 
+class RawBN(nn.Module):
+    """Variable-layout twin of ``nn.BatchNorm`` for kernel-computed moments.
+
+    The fused train-mode EdgeConv kernel (kernels/edgeconv_train.py)
+    computes the batch moments analytically, so BatchNorm's job splits
+    into (a) exposing γ/β and (b) updating the running stats.  This module
+    declares the exact same variables as ``nn.BatchNorm`` (names, shapes,
+    inits, collection) so that, constructed under ``name="BatchNorm_0"``,
+    it aliases the standard path's tree — checkpoints and the eval/gather
+    paths interchange freely.
+    """
+
+    features: int
+    momentum: float = 0.9
+
+    @nn.compact
+    def __call__(self, update_moments=None):
+        c = self.features
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((c,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((c,), jnp.float32)
+        )
+        if update_moments is not None and not self.is_initializing():
+            m, v = update_moments
+            ra_mean.value = (
+                self.momentum * ra_mean.value + (1 - self.momentum) * m
+            )
+            ra_var.value = (
+                self.momentum * ra_var.value + (1 - self.momentum) * v
+            )
+        return scale, bias, ra_mean.value, ra_var.value
+
+
 class PointBatchNorm(nn.Module):
     """BatchNorm over all non-channel axes (torch BN1d/BN2d semantics).
 
@@ -41,7 +78,15 @@ class PointBatchNorm(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array = None, *, raw_features: int = None,
+                 update_moments=None):
+        if raw_features is not None:
+            # kernel path: hand back γ/β (and update running stats when
+            # given kernel-computed batch moments) — same variable tree as
+            # the nn.BatchNorm below (see RawBN)
+            return RawBN(features=raw_features, name="BatchNorm_0")(
+                update_moments
+            )
         y = nn.BatchNorm(
             use_running_average=self.use_running_average,
             momentum=0.9,
@@ -85,9 +130,26 @@ class ConvBNLeaky(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array, part: str = "all") -> jax.Array:
-        conv = Conv1x1(self.features, dtype=self.dtype)
-        bn = PointBatchNorm(use_running_average=not self.train, dtype=self.dtype)
+    def __call__(self, x: jax.Array = None, part: str = "all", *,
+                 in_features: int = None, update_moments=None):
+        if part == "raw_conv":
+            # exact f32 conv kernel for the fused train path, recovered by
+            # an identity probe (the Dense is bias-free and linear, so the
+            # probe IS the kernel; grads flow through the probe matmul).
+            # Explicit names alias the standard path's auto-named children.
+            conv = Conv1x1(self.features, dtype=jnp.float32,
+                           name="Conv1x1_0")
+            return conv(jnp.eye(in_features, dtype=jnp.float32)[None])[0]
+        if part == "raw_bn":
+            bn = PointBatchNorm(
+                use_running_average=not self.train, dtype=self.dtype,
+                name="PointBatchNorm_0",
+            )
+            return bn(raw_features=self.features,
+                      update_moments=update_moments)
+        conv = Conv1x1(self.features, dtype=self.dtype, name="Conv1x1_0")
+        bn = PointBatchNorm(use_running_average=not self.train,
+                            dtype=self.dtype, name="PointBatchNorm_0")
         if part in ("all", "conv"):
             x = conv(x)
         if part in ("all", "bnleaky"):

@@ -48,7 +48,7 @@ class EdgeConv(nn.Module):
     conv1_out: int
     conv2_out: int
     normal_channel: bool = False
-    impl: str = "auto"  # 'auto' | 'fused' | 'gather' (fused = eval only)
+    impl: str = "auto"  # 'auto' | 'fused' | 'gather'
     train: bool = True
     dtype: Any = jnp.float32
 
@@ -92,18 +92,42 @@ class EdgeConv(nn.Module):
 
         from samble_tpu import kernels
 
-        if self.impl == "fused" and self.train:
-            # the BN affine fold is only valid with frozen running stats;
-            # in train mode the probes would yield a1 == 0 (constant-input
-            # batch statistics) and silently corrupt batch_stats
-            raise ValueError("EdgeConv impl='fused' is eval-only")
         use_fused = self.impl == "fused" or (
             self.impl == "auto"
-            and not self.train
+            and not self.train  # slab-free train kernel measured slower
             and kernels.use_pallas()
             and n >= 256
             and self.k <= 128
         )
+        if use_fused and self.train:
+            # Fused train path (kernels/edgeconv_train.py): the whole
+            # BN→leaky→conv→BN→leaky→max chain AND its exact BatchNorm
+            # batch-moment backward run slab-free — nothing O(B·K·N·C)
+            # touches HBM.  Correct (tests/test_edgeconv_train_module.py)
+            # but NOT selected by 'auto': its three streamed passes redo
+            # the one-hot selection ~6× vs the gather path's ~2×, and on
+            # TPU that costs more than the slab traffic it saves (seg
+            # train step 160 → 225 ms; docs/kernels.md "Fused train-mode
+            # EdgeConv: a measured dead end").  The raw_* accessors read
+            # γ/β and the conv kernel through the SAME submodules as the
+            # gather path (aliased names), so the parameter tree and
+            # checkpoints are identical; the kernel hands back the batch
+            # moments and the second raw_bn call folds them into the
+            # running stats exactly as nn.BatchNorm would.
+            c1 = self.conv1_out
+            scale1, bias1, _, _ = bn1(raw_features=c1)
+            w2k = cbl(part="raw_conv", in_features=c1)
+            scale2, bias2, _, _ = cbl(part="raw_bn")
+            out, moments = kernels.edgeconv_train(
+                self.k, 0.2, not kernels.use_pallas(),
+                u.astype(jnp.float32), w.astype(jnp.float32),
+                ops.neighbors.knn_normalized(x_knn),
+                scale1, bias1, w2k, scale2, bias2,
+            )
+            moments = jax.lax.stop_gradient(moments)
+            bn1(raw_features=c1, update_moments=moments[:2])
+            cbl(part="raw_bn", update_moments=moments[2:])
+            return out.astype(self.dtype)
         if use_fused:
             # Fused eval path (kernels/edgeconv.py): in eval mode BN is a
             # per-channel affine, so probe the existing submodules for
@@ -170,7 +194,7 @@ class STN(nn.Module):
     """
 
     k: int = 32  # kNN degree of the grouping (hardcoded in the reference)
-    impl: str = "auto"  # 'auto' | 'fused' | 'gather' (fused = eval only)
+    impl: str = "auto"  # 'auto' | 'fused' | 'gather'
     train: bool = True
     dtype: Any = jnp.float32  # computation dtype; params/BN moments stay f32
 
@@ -184,15 +208,39 @@ class STN(nn.Module):
 
         from samble_tpu import kernels
 
-        if self.impl == "fused" and self.train:
-            raise ValueError("STN impl='fused' is eval-only")
         use_fused = self.impl == "fused" or (
             self.impl == "auto"
-            and not self.train
+            and not self.train  # slab-free train kernel measured slower
             and kernels.use_pallas()
             and n >= 256
         )
-        if use_fused:
+        if use_fused and self.train:
+            # Fused train path — the grouped front has exactly the
+            # EdgeConv train structure (BN1→leaky→conv2→BN2→leaky→max),
+            # so it runs on kernels.edgeconv_train with cbl1's conv hoisted
+            # into the rank-1 pair terms (center_diff algebra as below) and
+            # both BN stages' moments computed inside the kernel.  Correct
+            # but explicitly opt-in only (impl='fused'), not 'auto': like
+            # EdgeConv above, it measured slower than the gather path
+            # (STN 43.8 → 58.3 ms in the seg train step; docs/kernels.md
+            # "Fused train-mode EdgeConv: a measured dead end").
+            w1k = cbl1(part="raw_conv", in_features=6)  # (6, 64) f32
+            xyz32 = xyz.astype(jnp.float32)
+            u = xyz32 @ (w1k[:3] - w1k[3:])
+            w = xyz32 @ w1k[3:]
+            scale1, bias1, _, _ = cbl1(part="raw_bn")
+            w2k = cbl2(part="raw_conv", in_features=64)
+            scale2, bias2, _, _ = cbl2(part="raw_bn")
+            x, moments = kernels.edgeconv_train(
+                self.k, 0.2, not kernels.use_pallas(),
+                u, w, ops.neighbors.knn_normalized(xyz32),
+                scale1, bias1, w2k, scale2, bias2,
+            )
+            moments = jax.lax.stop_gradient(moments)
+            cbl1(part="raw_bn", update_moments=moments[:2])
+            cbl2(part="raw_bn", update_moments=moments[2:])
+            x = x.astype(self.dtype)  # (B, N, 128), max over K fused
+        elif use_fused:
             w1, b1 = probe_cbl_affine(cbl1, 6, self.dtype)  # (6, 64), (64,)
             w2, b2 = probe_cbl_affine(cbl2, 64, self.dtype)
             # center‖diff concat hoist: gᵀW1' = x_i·(W1'c − W1'd) + x_j·W1'd
