@@ -147,8 +147,14 @@ def _gather_pallas(w, idx, interpret: bool = False):
     )(w, idx)
 
 
-@functools.partial(jax.jit, static_argnames=("m", "interpret"))
-def _scatter_pallas(g, idx, m: int, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("m", "interpret", "acc_dtype"))
+def _scatter_pallas(g, idx, m: int, interpret: bool = False, acc_dtype=None):
+    """One-hot-transpose scatter-add.  ``acc_dtype`` sets the accumulator
+    (= output) dtype independently of ``g``: the VJPs below keep ``g`` in
+    bf16 so the selection matmuls run at full bf16 MXU rate (an upcast of a
+    bf16 cotangent adds no information but drags the matmul onto the ~4x
+    slower f32 MXU path) while accumulating across K-chunks and row tiles
+    in f32."""
     bsz, knn_k, rows, c = g.shape
     tile = _tile_for(rows)
     grid = (bsz, rows // tile)
@@ -163,7 +169,7 @@ def _scatter_pallas(g, idx, m: int, interpret: bool = False):
         ],
         out_specs=pl.BlockSpec((1, m, c), lambda i, j: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((bsz, m, c), g.dtype),
+        out_shape=jax.ShapeDtypeStruct((bsz, m, c), acc_dtype or g.dtype),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024,
         ),
@@ -176,9 +182,9 @@ def _gather_fwd(w, idx, m, interpret):
 
 
 def _gather_bwd(m, interpret, idx, g):
-    # accumulate the scatter in f32 regardless of the activation dtype
-    # (gather preserves dtype, so g.dtype == w.dtype)
-    dw = _scatter_pallas(g.astype(jnp.float32), idx, m, interpret)
+    # selection matmuls in the cotangent's own (usually bf16) dtype,
+    # accumulation in f32 (see _scatter_pallas)
+    dw = _scatter_pallas(g, idx, m, interpret, acc_dtype=jnp.float32)
     return dw.astype(g.dtype), None
 
 
@@ -325,7 +331,7 @@ def _gather_knn_fwd(w, xn, knn_k, interpret):
 def _gather_knn_bwd(knn_k, interpret, res, cts):
     idx, m = res
     g, _ = cts  # idx cotangent is zero (int output)
-    dw = _scatter_pallas(g.astype(jnp.float32), idx, m, interpret)
+    dw = _scatter_pallas(g, idx, m, interpret, acc_dtype=jnp.float32)
     return dw.astype(g.dtype), None
 
 
