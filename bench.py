@@ -130,7 +130,8 @@ def _build_cls(cfg_overrides, n_points, dtype, train=False):
     model_eval = ClsModel(cfg=cfg, num_classes=40, train=False, dtype=dtype)
     rng = np.random.default_rng(0)
     init_points = rng.normal(size=(8, n_points, 3)).astype(np.float32)
-    variables = model_train.init(
+    # jitted: eager init compiles the forward op-by-op (minutes on TPU)
+    variables = jax.jit(model_train.init)(
         {
             "params": jax.random.key(0),
             "dropout": jax.random.key(1),
@@ -283,7 +284,8 @@ def bench_seg_inference(n_points, bs, dtype):
     rng = np.random.default_rng(3)
     pts8 = rng.normal(size=(8, n_points, 3)).astype(np.float32)
     cat8 = np.eye(16, dtype=np.float32)[rng.integers(0, 16, 8)]
-    variables = model_train.init(
+    # jitted: eager init compiles the forward op-by-op (minutes on TPU)
+    variables = jax.jit(model_train.init)(
         {
             "params": jax.random.key(0),
             "dropout": jax.random.key(1),

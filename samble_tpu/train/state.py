@@ -58,7 +58,11 @@ def create_train_state(
 ) -> TrainState:
     """Initialize parameters/state for ``model`` and wrap with the optimizer."""
     params_rng, dropout_rng, sampling_rng = jax.random.split(rng, 3)
-    variables = model.init(
+    # jit the init: eager (op-by-op) initialization dispatches every op of
+    # the forward pass through its own XLA compile — the sampler's
+    # associative_scan alone makes that pathologically slow on TPU
+    # (measured: eager init >580 s vs 28 s jitted at B=64, N=1024)
+    variables = jax.jit(model.init)(
         {"params": params_rng, "dropout": dropout_rng, "sampling": sampling_rng},
         *example_inputs,
     )

@@ -80,7 +80,7 @@ def time_eval(module, example_args, tag, results, bs, extra_rngs=("sampling",)):
     rngs = {"params": jax.random.key(0)}
     for name in extra_rngs:
         rngs[name] = jax.random.key(2)
-    variables = module.init(rngs, *example_args)
+    variables = jax.jit(module.init)(rngs, *example_args)
     apply_rngs = {k: jax.random.key(3) for k in extra_rngs}
     rest = example_args[1:]
 
@@ -128,7 +128,7 @@ def main():
 
     # --- full forward (same harness as bench.py's primary) ---
     model = ClsModel(cfg=cfg, num_classes=40, train=False, dtype=DTYPE)
-    variables = model.init(
+    variables = jax.jit(model.init)(
         {"params": jax.random.key(0), "sampling": jax.random.key(1)}, pts
     )
 

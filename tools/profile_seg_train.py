@@ -57,7 +57,7 @@ def time_grad(module, example_args, tag, iters=8, extra_rngs=("sampling",)):
     rngs = {"params": jax.random.key(0), "dropout": jax.random.key(1)}
     for name in extra_rngs:
         rngs[name] = jax.random.key(2)
-    variables = module.init(rngs, *example_args)
+    variables = jax.jit(module.init)(rngs, *example_args)
     params = variables["params"]
     others = {k: v for k, v in variables.items() if k != "params"}
     mutable = list(others.keys())
@@ -165,7 +165,7 @@ def main():
         rngs = {"params": jax.random.key(0), "dropout": jax.random.key(1),
                 "sampling": jax.random.key(2)}
         x0 = f128(n_up)
-        variables = m.init(rngs, pcd_up=x0, **kwargs)
+        variables = jax.jit(m.init)(rngs, pcd_up=x0, **kwargs)
         params = variables["params"]
         others = {k: v for k, v in variables.items() if k != "params"}
         mutable = list(others.keys())
