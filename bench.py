@@ -8,22 +8,36 @@ throughput at both 1024 and the reference's shipped 2048-pt shapes) and
 the Pallas-vs-XLA kernel parity/speedup checks print as ``#``-prefixed
 stderr lines and ride along in the JSON under ``extra``.
 
-Robustness (round-3 redesign; BENCH_r02 recorded rc=124/parsed=null when
-one slow extra blew past the driver wall clock):
+Robustness (round-4 redesign; BENCH_r02 recorded parsed=null and
+BENCH_r03 recorded value=0.0 — both because a cold compile cache pushed
+children past their deadlines and partial results were discarded):
 
 - The orchestrating parent process NEVER imports jax.  The primary and
   every extra run as their own subprocess (``--primary`` / ``--extra``
   child modes) with a hard per-child deadline, so a hung compile cannot
-  take the record down with it — the child is killed and recorded as an
-  error entry instead.
-- The primary JSON line is printed to stdout the moment the primary
-  measurement lands, BEFORE any extra runs.  After the extras, the same
-  JSON enriched with ``extra`` is re-printed as the final line (the
-  driver parses the last stdout line; if the driver kills us mid-extra
-  the early line still parses).
+  take the record down with it.
+- The primary child prints a complete JSON line the moment the FIRST
+  batch-size timing lands, then re-prints enriched lines as further
+  batch sizes and the MFU accounting (``cost_analysis``, off the
+  critical path) arrive.  A cold-cache child that dies mid-run still
+  leaves a non-zero record on its stdout.
+- When a child blows its deadline, the parent salvages the last
+  parseable JSON line from the child's partial stdout
+  (``TimeoutExpired.stdout``) instead of discarding it — a timeout
+  degrades the record, it no longer zeroes it.
 - A global TIME_BUDGET_S (checked before each child launch AND used to
   clamp each child's deadline) keeps worst-case wall time well inside
   the driver limit observed in round 2 (~30 min).
+- Extras run most-important-first (the train-step rows the verdicts
+  asked for precede the microbench) and each records its child wall
+  time (``child_s`` inside, ``took_s`` from the parent) so a future
+  timeout can be triaged as cold-compile vs slow-measurement from data.
+
+END-OF-ROUND RITUAL (documented contract, docs/benchmarks.md): after the
+LAST code change of a round, run ``python bench.py`` once so the
+persistent compile cache (/root/.cache/jax_tpu_cache) is warm for the
+driver's official run.  Every child enables the persistent cache; a
+warm run compiles nothing.
 
 Methodology (measured on this box, see git history): on the tunnelled TPU,
 repeated dispatches with bitwise-identical inputs can report absurd rates
@@ -61,7 +75,9 @@ import time
 REFERENCE_CLOUDS_PER_SEC = 191.78  # round-1 anchor (BENCH_r01.json)
 V5E_BF16_PEAK_FLOPS = 197e12  # TPU v5e per-chip peak, bf16
 TIME_BUDGET_S = 1500  # global wall-clock ceiling for the whole bench
-PRIMARY_TIMEOUT_S = 480  # hard deadline for the primary child
+PRIMARY_TIMEOUT_S = 600  # hard deadline for the primary child (worst case
+# observed cold: >480s for setup + 3 compiles; the child now prints after
+# its FIRST timing, so even a kill at the deadline salvages a real value)
 EXTRA_TIMEOUT_S = 420  # hard deadline per extra child (cold fwd+bwd
 # compiles in a fresh subprocess run 200-400s on this box)
 
@@ -411,40 +427,56 @@ def _bench_apes(dtype):
 
 
 def run_primary():
-    """Child: measure the primary config, print one JSON line on stdout."""
+    """Child: measure the primary config, printing a parseable JSON line
+    after EVERY batch-size timing (first line ≈ setup + one compile into
+    the run; a deadline kill after that still leaves a non-zero record).
+    MFU accounting runs after the last timing, off the critical path."""
+    t_child0 = time.time()
     jax = _setup_jax()
     import numpy as np
 
     dtype = _dtype()
-    best, best_bs, flops = bench_cls_inference(
-        1024, [512, 256], (64, 128, 256), dtype, "cls-1024", want_flops=True
+    _, _, model_eval, variables = _build_cls(
+        ["feature_learning_block.downsample.M=[512,256]"], 1024, dtype
     )
-
-    trace_dir = os.environ.get("SAMBLE_BENCH_TRACE")
-    if trace_dir:
-        from samble_tpu.utils.profiling import trace
-
-        _, _, model_eval, variables = _build_cls(
-            ["feature_learning_block.downsample.M=[512,256]"], 1024, dtype
+    forward = _forward_fn(model_eval, variables)
+    rng = np.random.default_rng(1)
+    best, best_bs = 0.0, None
+    result = None
+    # largest (historically fastest) batch first: the first printed line
+    # should already carry the best number we expect to see
+    for bs in (256, 128, 64):
+        points = jax.device_put(
+            rng.normal(size=(bs, 1024, 3)).astype(np.float32)
         )
-        fwd = _forward_fn(model_eval, variables)
-        pts = jax.device_put(
-            np.random.default_rng(9).normal(size=(128, 1024, 3)).astype(np.float32)
-        )
-        jax.block_until_ready(jax.jit(fwd)(pts))  # compile outside the trace
-        with trace(trace_dir):
-            jax.block_until_ready(jax.jit(fwd)(pts))
-        _log(f"# profiler trace written to {trace_dir}")
+        try:
+            dt = _timeit_chained(forward, points)
+        except Exception as e:
+            _log(f"# cls-1024 bs={bs} failed: {type(e).__name__}: {e}")
+            continue
+        cps = bs / dt
+        _log(f"# cls-1024 bs={bs}: {cps:.1f} clouds/sec ({dt * 1000:.1f} ms/batch)")
+        if cps > best:
+            best, best_bs = cps, bs
+        result = {
+            "metric": "modelnet40_cls_1024pt_inference_throughput",
+            "value": round(best, 2),
+            "unit": "clouds/sec",
+            "vs_baseline": round(best / REFERENCE_CLOUDS_PER_SEC, 3),
+            "batch_size": best_bs,
+            "dtype": str(dtype.__name__),
+            "device": str(jax.devices()[0]),
+            "setup_s": round(time.time() - t_child0, 1),
+        }
+        print(json.dumps(result), flush=True)
+    if result is None:
+        return  # every batch size failed; parent records the error
 
-    result = {
-        "metric": "modelnet40_cls_1024pt_inference_throughput",
-        "value": round(best, 2),
-        "unit": "clouds/sec",
-        "vs_baseline": round(best / REFERENCE_CLOUDS_PER_SEC, 3),
-        "batch_size": best_bs,
-        "dtype": str(dtype.__name__),
-        "device": str(jax.devices()[0]),
-    }
+    # ---- off the critical path from here on ----
+    flops = _flops_of(
+        forward,
+        jax.device_put(rng.normal(size=(best_bs, 1024, 3)).astype(np.float32)),
+    )
     if flops:
         flops_per_sec = flops / best_bs * best
         result["flops_per_cloud_G"] = round(flops / best_bs / 1e9, 3)
@@ -453,6 +485,20 @@ def run_primary():
         _log(f"# primary MFU: {result['mfu_pct']}% "
              f"({result['tflops_per_sec']} TFLOP/s, "
              f"{result['flops_per_cloud_G']} GF/cloud)")
+
+    trace_dir = os.environ.get("SAMBLE_BENCH_TRACE")
+    if trace_dir:
+        from samble_tpu.utils.profiling import trace
+
+        pts = jax.device_put(
+            np.random.default_rng(9).normal(size=(128, 1024, 3)).astype(np.float32)
+        )
+        jax.block_until_ready(jax.jit(forward)(pts))  # compile outside the trace
+        with trace(trace_dir):
+            jax.block_until_ready(jax.jit(forward)(pts))
+        _log(f"# profiler trace written to {trace_dir}")
+
+    result["child_s"] = round(time.time() - t_child0, 1)
     print(json.dumps(result), flush=True)
 
 
@@ -500,23 +546,33 @@ def _extra_registry():
     }
 
 
+# most-important-first: the train-step rows (round-2/3 verdict asks) and
+# the reference's shipped 2048-pt shapes precede the kernel microbench
 EXTRA_ORDER = (
-    "kernels",
     "train_step_1024",
-    "apes_global_1024",
-    "cls_2048",
-    "cls_4096",
-    "seg_2048",
-    "train_step_cls_2048",
     "train_step_seg_2048",
+    "train_step_cls_2048",
+    "cls_2048",
+    "seg_2048",
+    "apes_global_1024",
+    "kernels",
+    "cls_4096",
 )
+
+# the kernel microbench compiles many small programs (two impls × two
+# kernels × parity checks) — give it more rope than the one-model extras
+EXTRA_DEADLINES = {"kernels": 600}
 
 
 def run_extra(name):
-    """Child: run one extra, print one JSON line on stdout."""
+    """Child: run one extra, print one JSON line on stdout (with its own
+    wall time, for warm-vs-cold compile triage in the record)."""
+    t0 = time.time()
     _setup_jax()
     fn = _extra_registry()[name]
-    print(json.dumps(fn()), flush=True)
+    out = fn()
+    out["child_s"] = round(time.time() - t0, 1)
+    print(json.dumps(out), flush=True)
 
 
 # ---------------------------------------------------------------------------
@@ -524,28 +580,53 @@ def run_extra(name):
 # ---------------------------------------------------------------------------
 
 
+def _last_json_line(text):
+    """Last parseable JSON object line in ``text``, or None."""
+    for ln in reversed((text or "").strip().splitlines()):
+        ln = ln.strip()
+        if not ln.startswith("{"):
+            continue
+        try:
+            return json.loads(ln)
+        except json.JSONDecodeError:
+            continue
+    return None
+
+
 def _run_child(argv, deadline_s):
-    """Run one child; returns (parsed-last-stdout-json | None, err | None)."""
+    """Run one child; returns (parsed-last-stdout-json | None, err | None).
+
+    On deadline kill the child's PARTIAL stdout is salvaged: the primary
+    child prints a complete JSON line after every batch-size timing, so a
+    timeout mid-run degrades the record instead of zeroing it (BENCH_r03
+    recorded 0.0 by discarding exactly this output)."""
     try:
         p = subprocess.run(
             [sys.executable, os.path.abspath(__file__), *argv],
             capture_output=True, text=True, timeout=deadline_s,
         )
     except subprocess.TimeoutExpired as e:
-        for s in (e.stderr, e.stdout):
-            if s:
-                sys.stderr.write(s if isinstance(s, str) else s.decode())
-        return None, f"timeout after {deadline_s:.0f}s"
+        err_s = e.stderr if isinstance(e.stderr, str) else (
+            e.stderr.decode() if e.stderr else "")
+        out_s = e.stdout if isinstance(e.stdout, str) else (
+            e.stdout.decode() if e.stdout else "")
+        sys.stderr.write(err_s)
+        sys.stderr.flush()
+        salvaged = _last_json_line(out_s)
+        note = f"timeout after {deadline_s:.0f}s"
+        if salvaged is not None:
+            return salvaged, note + " (partial result salvaged)"
+        return None, note
     sys.stderr.write(p.stderr)
     sys.stderr.flush()
-    lines = [ln for ln in p.stdout.strip().splitlines() if ln.strip()]
-    if p.returncode != 0 or not lines:
-        tail = (p.stderr or "").strip().splitlines()[-3:]
-        return None, f"rc={p.returncode}: " + " | ".join(tail)[-300:]
-    try:
-        return json.loads(lines[-1]), None
-    except json.JSONDecodeError as e:
-        return None, f"unparseable child output: {e}"
+    parsed = _last_json_line(p.stdout)
+    if parsed is not None:
+        # a nonzero exit after a valid line (e.g. MFU pass crashed) still
+        # counts — the line is the record
+        note = None if p.returncode == 0 else f"rc={p.returncode} after last line"
+        return parsed, note
+    tail = (p.stderr or "").strip().splitlines()[-3:]
+    return None, f"rc={p.returncode}: " + " | ".join(tail)[-300:]
 
 
 def main():
@@ -567,6 +648,8 @@ def main():
             "vs_baseline": 0.0,
             "error": err,
         }
+    elif err:
+        result["note"] = err  # salvaged-partial / late-crash annotation
     # early line: if anything downstream hangs or the driver kills us, this
     # line is already on stdout and parses
     print(json.dumps(result), flush=True)
@@ -578,15 +661,18 @@ def main():
             if left < 60:
                 _log(f"# time budget exhausted; skipping {name} and the rest")
                 break
-            deadline = min(EXTRA_TIMEOUT_S, left)
+            deadline = min(EXTRA_DEADLINES.get(name, EXTRA_TIMEOUT_S), left)
             t_ex = time.time()
             val, err = _run_child(["--extra", name], deadline)
             took = time.time() - t_ex
             if val is not None:
+                if err:
+                    val["note"] = err
+                val["took_s"] = round(took, 1)
                 extra[name] = val
                 _log(f"# {name}: {val} ({took:.0f}s)")
             else:
-                extra[name] = {"error": err}
+                extra[name] = {"error": err, "took_s": round(took, 1)}
                 _log(f"# {name} failed after {took:.0f}s: {err}")
 
     # final enriched line (driver parses the last stdout line)

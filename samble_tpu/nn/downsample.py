@@ -37,6 +37,7 @@ import jax.numpy as jnp
 
 from samble_tpu import ops
 from samble_tpu.ops.attention import attention_point_score
+from samble_tpu.ops.topk import top_k
 from samble_tpu.nn.common import Conv1x1, PointBatchNorm, leaky_relu, split_heads, merge_heads
 
 
@@ -66,7 +67,7 @@ def _boltzmann_select(key, score, m, norm_mode, temperature):
     s = ops.norm_range(score, axis=-1, n_min=0.0, n_max=1.0, mode=norm_mode)
     logits = s / temperature
     pert = logits + jax.random.gumbel(key, logits.shape, dtype=logits.dtype)
-    _, idx = jax.lax.top_k(pert, m)
+    _, idx = top_k(pert, m)
     return idx.astype(jnp.int32)
 
 
@@ -392,7 +393,7 @@ class DownSampleCarve(nn.Module):
                 self.boltzmann_norm_mode, self.boltzmann_t,
             )
         else:
-            _, idx = jax.lax.top_k(score, self.m)
+            _, idx = top_k(score, self.m)
             idx = idx.astype(jnp.int32)
 
         attn_down = ops.gather_by_idx(attn, idx).astype(self.dtype)  # (B, M, N)
@@ -480,14 +481,14 @@ class DownSampleLocal(nn.Module):
                 self.boltzmann_norm_mode, self.boltzmann_t,
             )
         else:
-            _, idx = jax.lax.top_k(score, self.m)
+            _, idx = top_k(score, self.m)
             idx = idx.astype(jnp.int32)
 
         # dropped complement: bottom (N - M) by local std
         # (models/downsample.py:916-918)
         local_std = jnp.std(attn, axis=-1)[..., 0] if attn.ndim == 4 else None
         drop_score = -jnp.std(attn, axis=-1)[:, :, 0]  # (B, N), ascending std
-        _, idx_dropped = jax.lax.top_k(drop_score, n - self.m)
+        _, idx_dropped = top_k(drop_score, n - self.m)
         idx_dropped = idx_dropped.astype(jnp.int32)
 
         def gather_rows(t, i):
@@ -597,10 +598,10 @@ class DownSampleGlobal(nn.Module):
             score = (cf if self.idx_mode == "col_sum"
                      else score_from_colsums(cm, cf, cc, self.idx_mode))
             score = jax.lax.stop_gradient(score)
-            _, idx = jax.lax.top_k(score, self.m)
+            _, idx = top_k(score, self.m)
             idx = idx.astype(jnp.int32)
             # dropped = bottom N−M by column sum (models/downsample.py:1301-1303)
-            _, idx_dropped = jax.lax.top_k(
+            _, idx_dropped = top_k(
                 -jax.lax.stop_gradient(cf), n - self.m
             )
             idx_dropped = idx_dropped.astype(jnp.int32)
@@ -634,11 +635,11 @@ class DownSampleGlobal(nn.Module):
                 )[:, 0]
             score = jax.lax.stop_gradient(score)
 
-            _, idx = jax.lax.top_k(score, self.m)
+            _, idx = top_k(score, self.m)
             idx = idx.astype(jnp.int32)
             # dropped = bottom N−M by column sum (models/downsample.py:1301-1303)
             col = jnp.sum(attn, axis=-2)
-            _, idx_dropped = jax.lax.top_k(-col, n - self.m)
+            _, idx_dropped = top_k(-col, n - self.m)
             idx_dropped = idx_dropped.astype(jnp.int32)
 
             attn_down = ops.gather_by_idx(attn, idx).astype(self.dtype)

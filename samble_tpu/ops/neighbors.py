@@ -19,6 +19,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from samble_tpu.ops.topk import top_k
+
 
 def _normalize_pair(a: jax.Array, b: jax.Array):
     """Reference-fidelity normalization before the distance computation.
@@ -81,7 +83,7 @@ def knn(a: jax.Array, b: jax.Array, k: int):
     # same 0-subgradient convention, so parity holds).
     zero = sq <= 1e-12
     neg_dist = -jnp.where(zero, 0.0, jnp.sqrt(jnp.where(zero, 1.0, sq)))
-    dist, idx = jax.lax.top_k(neg_dist, k)
+    dist, idx = top_k(neg_dist, k)
     return dist, idx.astype(jnp.int32)
 
 

@@ -55,10 +55,23 @@ def maybe_init_distributed(cfg: Any) -> bool:
 def make_mesh(
     devices: Optional[Sequence] = None, axis_name: str = "data"
 ) -> Mesh:
-    """1-D data-parallel mesh over all (or the given) devices."""
+    """1-D data-parallel mesh over all (or the given) devices.
+
+    Spanning more than one device also switches the op library to its
+    partition-safe top-k (``ops/topk.py``): XLA's TopK custom-call cannot
+    be partitioned and would all-gather the (B, N, N) kNN distance tensor
+    to every device; the sort-based selection partitions with zero
+    collectives.  The flag must be set before the step functions are
+    traced, which building the mesh first guarantees.
+    """
     if devices is None:
         devices = jax.devices()
-    return Mesh(np.asarray(devices), (axis_name,))
+    devices = np.asarray(devices)
+    if devices.size > 1:
+        from samble_tpu.ops import topk
+
+        topk.set_spmd(True)
+    return Mesh(devices, (axis_name,))
 
 
 def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:

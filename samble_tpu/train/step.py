@@ -146,43 +146,43 @@ def make_vote_eval_step(
     """TTA/voting eval: average logits over ``num_vote`` forward passes, the
     first on the raw points and the rest on anisotropic-scaled copies
     (train_modelnet.py:431-441, utils/dataloader.py:106-114,482-496).
-    Realized as a ``lax.scan`` over per-vote RNG keys."""
 
-    def one_forward(state, points, cat, rng):
+    The first (non-augmented) pass runs outside the scan and keeps its full
+    aux, so per-ds-layer downsample indices stay available during voted
+    validation — the reference computes per-layer downsampled mIoU from
+    exactly this pass (train_shapenet.py:550-602).  The remaining
+    ``num_vote - 1`` augmented passes run as a ``lax.scan`` over per-vote
+    RNG keys."""
+
+    def one_forward(state, points, cat, rng, with_aux=False):
         variables = state.variables()
         if task == "cls":
-            logits, _ = model_eval.apply(variables, points, rngs={"sampling": rng})
+            logits, aux = model_eval.apply(variables, points, rngs={"sampling": rng})
         else:
             cat_oh = jax.nn.one_hot(cat, 16, dtype=points.dtype)
-            logits, _ = model_eval.apply(
+            logits, aux = model_eval.apply(
                 variables, points, cat_oh, rngs={"sampling": rng}
             )
-        return logits
+        return (logits, aux) if with_aux else logits
 
     def vote_step_wrapped(state, points, cat, rng):
-        # logits shape depends on the model; get it abstractly
-
-        sample = jax.eval_shape(
-            lambda s, p, c: one_forward(s, p, c, jax.random.key(0)),
-            state, points, cat,
-        )
         keys = jax.random.split(rng, num_vote)
+        # first pass on the raw points; its downsample indices feed the
+        # per-ds-layer mIoU metric just like the plain eval step's
+        logits0, aux0 = one_forward(state, points, cat, keys[0], with_aux=True)
 
-        def body(carry, xs):
-            i, key = xs
+        def body(carry, key):
             aug_key, samp_key = jax.random.split(key)
-            pts = jax.lax.cond(
-                i == 0, lambda: points, lambda: vote_augment_fn(aug_key, points)
-            )
-            logits = one_forward(state, pts, cat, samp_key)
+            logits = one_forward(state, vote_augment_fn(aug_key, points), cat,
+                                 samp_key)
             return carry + logits, None
 
-        total, _ = jax.lax.scan(
-            body,
-            jnp.zeros(sample.shape, sample.dtype),
-            (jnp.arange(num_vote), keys),
-        )
+        total, _ = jax.lax.scan(body, logits0, keys[1:])
         logits = total / num_vote
-        return {"logits": logits, "preds": jnp.argmax(logits, axis=-1)}
+        return {
+            "logits": logits,
+            "preds": jnp.argmax(logits, axis=-1),
+            "ds_idx": [a["idx"] for a in aux0["downsample"]],
+        }
 
     return jax.jit(vote_step_wrapped)

@@ -1,6 +1,10 @@
 """Multi-device consistency: the sharded train step must compute exactly the
 same result as the unsharded one (global-view semantics make the reference's
-DDP gradient sync / SyncBN / bin-boundary all_reduce implicit)."""
+DDP gradient sync / SyncBN / bin-boundary all_reduce implicit), and the
+compiled program's COMMUNICATION PATTERN must be the intended one — the
+cheap proxy for multichip scaling on a box without multiple chips."""
+
+import re
 
 import jax
 import jax.numpy as jnp
@@ -140,3 +144,46 @@ def test_sharded_step_matches_unsharded_topk_exact():
         f"{mismatch.mean():.4%} of parameters diverged (topk sampler) — "
         "indicates a gradient-sync bug, not boundary noise"
     )
+
+
+def test_sharded_step_hlo_collectives_are_bounded():
+    """Lower + compile the 8-device train step and assert the collectives
+    are exactly the intended ones (SURVEY.md §2.2 TPU-equivalent table):
+
+      * all-reduce IS present — gradient / SyncBN-moment / loss sync (the
+        reference's DDP + SyncBatchNorm + in-forward all_reduce);
+      * every all-gather moves at most B*N elements — the only tensors
+        that legitimately cross the mesh whole are the per-layer attention
+        scores for the EXACT global bin-boundary quantiles (the reference
+        all_reduces per-rank boundaries instead, utils/ops.py:191-199; we
+        gather the B*N scores for exact quantiles — strictly better
+        semantics at negligible size);
+      * no all-to-all / collective-permute / O(N^2) traffic: the (B,N,N)
+        distance and attention tensors must never cross devices.  This is
+        the regression guard for the lax.top_k SPMD fallback (TopK is not
+        partitionable; XLA silently all-gathered the whole distance tensor
+        before ops/topk.py).
+    """
+    assert jax.device_count() >= 8
+    state, step, points, label = _setup()
+    mesh = make_mesh(jax.devices()[:8])
+    state_r = replicate_state(mesh, state)
+    pts_s, lbl_s = shard_batch(mesh, (points, label))
+    txt = step.lower(state_r, (pts_s, lbl_s), jax.random.key(3)).compile().as_text()
+
+    assert "all-reduce(" in txt, "gradient/BN sync all-reduce missing"
+    assert "all-to-all(" not in txt
+    assert "collective-permute(" not in txt
+
+    # every all-gather's RESULT must stay within the per-layer global
+    # score size (B*N elements) — anything larger means a feature map,
+    # distance matrix or attention map crossed the mesh
+    budget = B * N
+    gathers = re.findall(r"=\s+\w+\[([0-9,]*)\]\S*\s+all-gather\(", txt)
+    assert gathers, "expected the global bin-boundary score gathers"
+    for dims in gathers:
+        numel = int(np.prod([int(d) for d in dims.split(",") if d]))
+        assert numel <= budget, (
+            f"all-gather of {numel} elements (> B*N = {budget}): an "
+            "oversized tensor crosses the mesh — partitioner fallback?"
+        )
