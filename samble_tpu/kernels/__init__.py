@@ -28,13 +28,31 @@ import jax
 def use_pallas() -> bool:
     if os.environ.get("SAMBLE_DISABLE_PALLAS", "0") == "1":
         return False
+    if os.environ.get("SAMBLE_FORCE_PALLAS", "0") == "1":
+        # CPU tests force the kernel-dispatching module paths; combined
+        # with interpret_default() the kernels run in interpret mode
+        return True
     try:
         return jax.default_backend() == "tpu"
     except Exception:
         return False
 
 
-from samble_tpu.kernels.attn_rows import attn_rows_pallas  # noqa: E402
+@lru_cache(maxsize=None)
+def interpret_default() -> bool:
+    """Interpret-mode flag for kernel call sites: real Mosaic lowering only
+    on an actual TPU backend (decoupled from use_pallas so
+    SAMBLE_FORCE_PALLAS=1 can drive the fused module paths on CPU)."""
+    try:
+        return jax.default_backend() != "tpu"
+    except Exception:
+        return True
+
+
+from samble_tpu.kernels.attn_rows import (  # noqa: E402
+    attn_rows,
+    attn_rows_pallas,
+)
 from samble_tpu.kernels.edgeconv import (  # noqa: E402
     edgeconv_knn_pallas,
     edgeconv_pallas,
@@ -49,6 +67,7 @@ from samble_tpu.kernels.score import (  # noqa: E402
 
 __all__ = [
     "use_pallas",
+    "attn_rows",
     "attn_rows_pallas",
     "edgeconv_knn_pallas",
     "edgeconv_pallas",

@@ -7,10 +7,12 @@ primary shapes (tools/probe_ds_token.py).  At these sizes the whole row
 block fits in VMEM, so one kernel cell computes energy → softmax → @V with
 nothing O(M·N) ever reaching HBM.
 
-Forward-only: the eval path dispatches here; training keeps the
-differentiable XLA recompute (the module needs grads through q/k/v
-projections).  Reference semantics: models/downsample.py:242-252 (gather
-attention rows, multiply by V).
+``attn_rows_pallas`` is the forward-only eval entry; ``attn_rows`` adds a
+flash-style custom VJP (softmax recomputed per row tile in the backward,
+dk/dv streamed across tiles) so the TRAIN path gets the same
+no-O(M·NT)-in-HBM property — including in the autodiff residuals, where
+the XLA recompute used to save the full f32 map.  Reference semantics:
+models/downsample.py:242-252 (gather attention rows, multiply by V).
 """
 
 from __future__ import annotations
@@ -96,3 +98,147 @@ def attn_rows_pallas(q_sel, k, v, scale: float, interpret: bool = False):
         interpret=interpret,
     )(q_sel, k, v)
     return out
+
+
+_attn_rows_fwd_impl = attn_rows_pallas  # unwrapped fwd (used by the VJP)
+
+
+def _attn_rows_bwd_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref,
+                          *, scale: float, nt_valid: int):
+    """Flash-style backward cell: softmax recomputed per row tile, nothing
+    O(M·NT) in HBM.  dk/dv accumulate across the sequential row-tile axis.
+
+    With a = softmax(q·kᵀ·s):  dv = aᵀ g;  da = g·vᵀ;
+    de = a ⊙ (da − Σ_cols(a ⊙ da));  dq = s·de·k;  dk = s·deᵀ·q.
+    """
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    g = g_ref[0].astype(jnp.float32)
+    tile, ntp = q.shape[0], k.shape[0]
+
+    energy = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale
+    if nt_valid < ntp:
+        col = jax.lax.broadcasted_iota(jnp.int32, (tile, ntp), 1)
+        energy = jnp.where(col < nt_valid, energy, -jnp.inf)
+    row_max = jnp.max(energy, axis=1, keepdims=True)
+    ex = jnp.exp(energy - row_max)
+    a = ex / jnp.sum(ex, axis=1, keepdims=True)  # (TILE, NTP) f32
+    # the forward casts attn to v.dtype before @V — mirror that exactly so
+    # the gradient matches the (bf16-quantized) forward computation
+    a_q = a.astype(v.dtype).astype(jnp.float32)
+
+    da = jax.lax.dot_general(
+        g, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (TILE, NTP)
+    # softmax VJP uses the f32 softmax output; the bf16 quantization cast
+    # has an identity gradient (dv below is where the quantized a appears)
+    t = jnp.sum(a * da, axis=1, keepdims=True)
+    de = (a * (da - t) * scale).astype(q.dtype)  # (TILE, NTP)
+
+    dq = jax.lax.dot_general(
+        de, k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        dk_ref[0] = jnp.zeros_like(dk_ref[0])
+        dv_ref[0] = jnp.zeros_like(dv_ref[0])
+
+    dk_ref[0] += jax.lax.dot_general(
+        de, q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dk_ref.dtype)
+    dv_ref[0] += jax.lax.dot_general(
+        a_q.astype(g_ref.dtype), g_ref[0], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dv_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
+def _attn_rows_pallas_bwd(q_sel, k, v, g, scale: float,
+                          interpret: bool = False):
+    bsz, m, d = q_sel.shape
+    nt = k.shape[1]
+    c = v.shape[-1]
+    tile = 128 if m % 128 == 0 else (64 if m % 64 == 0 else m)
+    nt_pad = _round_up(nt, 128)
+    if nt_pad != nt:
+        k = jnp.pad(k, ((0, 0), (0, nt_pad - nt), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, nt_pad - nt), (0, 0)))
+
+    grid = (bsz, m // tile)
+    kernel = functools.partial(_attn_rows_bwd_kernel, scale=scale, nt_valid=nt)
+    dq, dk, dv = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, tile, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nt_pad, d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nt_pad, c), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, c), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tile, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nt_pad, d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nt_pad, c), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bsz, m, d), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, nt_pad, d), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, nt_pad, c), jnp.float32),
+        ],
+        interpret=interpret,
+    )(q_sel, k, v, g)
+    return dq, dk[:, :nt], dv[:, :nt]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def attn_rows(q_sel, k, v, scale: float, interpret: bool = False):
+    """Differentiable fused row attention (the TRAIN path's x_ds).
+
+    Same math as :func:`attn_rows_pallas`, plus a flash-style custom VJP:
+    the (B, M, NT) attention map exists neither in the forward nor in the
+    autodiff residuals — the backward kernel recomputes the softmax per
+    row tile from (q, k) and streams dk/dv accumulation across tiles.
+    Replaces the XLA recompute in nn/downsample.py that materialized the
+    f32 map and saved it for the backward pass.
+    """
+    return _attn_rows_fwd_impl(q_sel, k, v, scale, interpret)
+
+
+def _attn_rows_vjp_fwd(q_sel, k, v, scale, interpret):
+    return _attn_rows_fwd_impl(q_sel, k, v, scale, interpret), (q_sel, k, v)
+
+
+def _attn_rows_vjp_bwd(scale, interpret, res, g):
+    q_sel, k, v = res
+    dq, dk, dv = _attn_rows_pallas_bwd(q_sel, k, v, g, scale, interpret)
+    return dq.astype(q_sel.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+attn_rows.defvjp(_attn_rows_vjp_fwd, _attn_rows_vjp_bwd)
+
+
+# ---------------------------------------------------------------------------
+# SPMD dispatch: batch-shard over the ambient mesh (kernels/spmd.py).
+# pallas_call has no GSPMD rule — unwrapped, a >1-device mesh would
+# all-gather every operand and run the kernel replicated on each device.
+# ---------------------------------------------------------------------------
+from samble_tpu.kernels import spmd as _spmd  # noqa: E402
+
+attn_rows_pallas = _spmd.data_parallel(attn_rows_pallas, 3)
+attn_rows = _spmd.data_parallel(attn_rows, 3)

@@ -239,3 +239,14 @@ def edgeconv_knn_pallas(u, w, xn, knn_k: int, w2, b2, alpha: float = 0.2,
         interpret=interpret,
     )(xn, xn, u, w, w2, b2)
     return out[:, :n]
+
+
+# ---------------------------------------------------------------------------
+# SPMD dispatch: batch-shard over the ambient mesh (kernels/spmd.py).
+# pallas_call has no GSPMD rule — unwrapped, a >1-device mesh would
+# all-gather every operand and run the kernel replicated on each device.
+# ---------------------------------------------------------------------------
+from samble_tpu.kernels import spmd as _spmd  # noqa: E402
+
+edgeconv_pallas = _spmd.data_parallel(edgeconv_pallas, 3)
+edgeconv_knn_pallas = _spmd.data_parallel(edgeconv_knn_pallas, 3)

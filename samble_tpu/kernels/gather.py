@@ -344,3 +344,15 @@ def gather_neighbors(w, idx, interpret: bool = False):
     consumers; the VJP scatters through the same one-hot matmuls instead of
     XLA's serial scatter-add."""
     return jnp.moveaxis(gather_neighbors_kfirst(w, idx, interpret), 1, 2)
+
+
+# ---------------------------------------------------------------------------
+# SPMD dispatch: batch-shard over the ambient mesh (kernels/spmd.py).
+# pallas_call has no GSPMD rule — unwrapped, a >1-device mesh would
+# all-gather every operand and run the kernel replicated on each device.
+# ---------------------------------------------------------------------------
+from samble_tpu.kernels import spmd as _spmd  # noqa: E402
+
+gather_neighbors_kfirst = _spmd.data_parallel(gather_neighbors_kfirst, 2)
+scatter_neighbors_kfirst = _spmd.data_parallel(scatter_neighbors_kfirst, 2)
+gather_knn_kfirst = _spmd.data_parallel(gather_knn_kfirst, 2)

@@ -136,3 +136,13 @@ def knn_pallas(a: jax.Array, b: jax.Array, k: int, interpret: bool = False):
         interpret=interpret,
     )(a, b)
     return dist[:, :n], idx[:, :n]
+
+
+# ---------------------------------------------------------------------------
+# SPMD dispatch: batch-shard over the ambient mesh (kernels/spmd.py).
+# pallas_call has no GSPMD rule — unwrapped, a >1-device mesh would
+# all-gather every operand and run the kernel replicated on each device.
+# ---------------------------------------------------------------------------
+from samble_tpu.kernels import spmd as _spmd  # noqa: E402
+
+knn_pallas = _spmd.data_parallel(knn_pallas, 2)

@@ -603,3 +603,14 @@ def _n2p_fused_bwd(heads, scale, negate, subtract_v, knn_k, interpret,
 
 
 n2p_attention_fused.defvjp(_n2p_fused_fwd, _n2p_fused_bwd)
+
+
+# ---------------------------------------------------------------------------
+# SPMD dispatch: batch-shard over the ambient mesh (kernels/spmd.py).
+# pallas_call has no GSPMD rule — unwrapped, a >1-device mesh would
+# all-gather every operand and run the kernel replicated on each device.
+# ---------------------------------------------------------------------------
+from samble_tpu.kernels import spmd as _spmd  # noqa: E402
+
+n2p_attention = _spmd.data_parallel(n2p_attention, 4)
+n2p_attention_fused = _spmd.data_parallel(n2p_attention_fused, 4)

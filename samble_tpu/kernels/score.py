@@ -342,3 +342,14 @@ FUSED_IDX_MODES = (
     "col_sum", "sparse_col_sum", "sparse_col_avg", "sparse_col_sqr",
     "sparse_col_sum_sqr",
 )
+
+
+# ---------------------------------------------------------------------------
+# SPMD dispatch: batch-shard over the ambient mesh (kernels/spmd.py).
+# pallas_call has no GSPMD rule — unwrapped, a >1-device mesh would
+# all-gather every operand and run the kernel replicated on each device.
+# ---------------------------------------------------------------------------
+from samble_tpu.kernels import spmd as _spmd  # noqa: E402
+
+sparse_attention_score_pallas = _spmd.data_parallel(sparse_attention_score_pallas, 3)
+sparse_attention_score_fused = _spmd.data_parallel(sparse_attention_score_fused, 3)

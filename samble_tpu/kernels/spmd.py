@@ -1,0 +1,82 @@
+"""Data-parallel dispatch of the Pallas kernels under a device mesh.
+
+``pallas_call`` has no SPMD partitioning rule: under a >1-device mesh,
+GSPMD falls back to ALL-GATHERING every operand and running the kernel
+fully replicated on every device (measured on an 8-device host mesh:
+the compiled program contains an ``all-gather`` of the full batch and
+the output comes back unsharded).  On a real multi-chip TPU that means
+O(B·N·C) ICI traffic per kernel call plus mesh-size× redundant compute —
+the kernels would *undo* the data parallelism the mesh provides.
+
+Every kernel in this package is embarrassingly batch-parallel (the grid's
+leading axis is the batch; no cross-batch interaction), so the fix is
+mechanical: when the parallel layer has installed a mesh
+(``parallel.make_mesh`` with >1 device), each public kernel entry runs
+under ``shard_map`` over the batch axis.  Inside the shard the kernel
+sees the local batch; outputs come back batch-sharded; XLA inserts zero
+collectives.  Single-device behavior is bit-identical (the wrapper is a
+passthrough).
+
+Differentiation: ``shard_map`` composes with ``jax.custom_vjp`` (the
+gather/scatter and N2P kernels), so the fused backward kernels get the
+same per-shard treatment.
+
+Fallback: batches not divisible by the mesh size run the unwrapped
+(replicated) path — correct, just not scaled.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+from jax.sharding import Mesh, PartitionSpec as P
+
+_MESH: Optional[Mesh] = None
+_AXIS: str = "data"
+
+
+def install_mesh(mesh: Optional[Mesh], axis_name: str = "data") -> None:
+    """Make ``mesh`` the ambient mesh for kernel dispatch (None clears)."""
+    global _MESH, _AXIS
+    _MESH = mesh
+    _AXIS = axis_name
+
+
+def active_mesh() -> Optional[Mesh]:
+    return _MESH
+
+
+def data_parallel(fn, n_batched: int):
+    """Wrap a kernel entry: the first ``n_batched`` positional args are
+    batch-sharded over the ambient mesh; everything else (weights, static
+    ints/floats) rides in the closure as replicated constants."""
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        mesh = _MESH
+        batched = args[:n_batched]
+        b = batched[0].shape[0] if hasattr(batched[0], "shape") else None
+        if (
+            mesh is None
+            or mesh.size <= 1
+            or b is None
+            or b % mesh.size != 0
+        ):
+            return fn(*args, **kwargs)
+        rest = args[n_batched:]
+
+        def inner(*sharded_args):
+            return fn(*sharded_args, *rest, **kwargs)
+
+        return jax.shard_map(
+            inner,
+            mesh=mesh,
+            in_specs=(P(_AXIS),) * n_batched,
+            out_specs=P(_AXIS),
+            check_vma=False,
+        )(*batched)
+
+    wrapper.__wrapped_kernel__ = fn  # escape hatch for tests/tools
+    return wrapper

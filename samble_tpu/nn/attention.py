@@ -105,12 +105,14 @@ class Neighbor2PointAttention(nn.Module):
             if impl == "pallas":
                 # kNN selection fused INTO the attention kernel: no index
                 # pass, no mask rebuild (kernels/n2p.py docstring)
+                from samble_tpu import kernels
                 from samble_tpu.kernels.n2p import n2p_attention_fused
 
                 out = n2p_attention_fused(
                     merge_heads(q), k_pt, v_pt,
                     ops.neighbors.knn_normalized(x_raw),
                     self.num_heads, scale, negate, subtract_v, self.k,
+                    kernels.interpret_default(),
                 )
             else:
                 from samble_tpu.kernels.n2p import n2p_dense_reference

@@ -155,7 +155,7 @@ class DownSampleToken(nn.Module):
                 jax.lax.stop_gradient(q_proj),
                 jax.lax.stop_gradient(k_proj),
                 ops.neighbors.knn_normalized(x_f32),
-                self.k, scale,
+                self.k, scale, interpret=kernels.interpret_default(),
             )
             score = score_from_colsums(cm, cf, cc, self.idx_mode)[:, None]
             # bin-token logits: differentiable thin slice of the energy
@@ -241,27 +241,24 @@ class DownSampleToken(nn.Module):
         # --- gathered attention rows @ V ------------------------------------
         if fused and not self.train:
             # eval: fused energy→softmax→@V, nothing O(M·NT) in HBM
-            # (kernels/attn_rows.py); training keeps the differentiable
-            # XLA recompute below
+            # (kernels/attn_rows.py)
             q_sel = ops.gather_by_idx(q_proj, idx)  # (B, M, C)
             x_ds = kernels.attn_rows_pallas(
                 q_sel, k_proj, v_proj, scale,
-                interpret=not kernels.use_pallas(),
+                interpret=kernels.interpret_default(),
+            ).astype(self.dtype)
+        elif fused:
+            # train: same fused row attention with a flash-style custom
+            # VJP — the (B, M, NT) map exists neither forward nor in the
+            # autodiff residuals (the XLA recompute used to materialize
+            # and save the full f32 map for the backward)
+            q_sel = ops.gather_by_idx(q_proj, idx)  # (B, M, C)
+            x_ds = kernels.attn_rows(
+                q_sel, k_proj, v_proj, scale,
+                interpret=kernels.interpret_default(),
             ).astype(self.dtype)
         else:
-            if fused:
-                # recompute the M selected attention rows (cheaper than
-                # storing the full map; row-wise softmax is identical)
-                q_sel = ops.gather_by_idx(q_proj, idx)  # (B, M, C)
-                attn_down = jax.nn.softmax(
-                    jnp.einsum("bmc,btc->bmt", q_sel, k_proj).astype(
-                        jnp.float32
-                    )
-                    * scale,
-                    axis=-1,
-                ).astype(self.dtype)
-            else:
-                attn_down = ops.gather_by_idx(attn, idx).astype(self.dtype)
+            attn_down = ops.gather_by_idx(attn, idx).astype(self.dtype)
             x_ds = jnp.einsum("bmn,bnc->bmc", attn_down, v_proj)  # (B, M, C)
 
         if self.res:
@@ -593,7 +590,7 @@ class DownSampleGlobal(nn.Module):
                 jax.lax.stop_gradient(q),
                 jax.lax.stop_gradient(kk),
                 ops.neighbors.knn_normalized(x_f32),
-                self.k, scale,
+                self.k, scale, interpret=kernels.interpret_default(),
             )
             score = (cf if self.idx_mode == "col_sum"
                      else score_from_colsums(cm, cf, cc, self.idx_mode))

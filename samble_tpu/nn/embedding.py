@@ -119,7 +119,7 @@ class EdgeConv(nn.Module):
             w2k = cbl(part="raw_conv", in_features=c1)
             scale2, bias2, _, _ = cbl(part="raw_bn")
             out, moments = kernels.edgeconv_train(
-                self.k, 0.2, not kernels.use_pallas(),
+                self.k, 0.2, kernels.interpret_default(),
                 u.astype(jnp.float32), w.astype(jnp.float32),
                 ops.neighbors.knn_normalized(x_knn),
                 scale1, bias1, w2k, scale2, bias2,
@@ -145,7 +145,7 @@ class EdgeConv(nn.Module):
             return kernels.edgeconv_knn_pallas(
                 u_p, w_p, ops.neighbors.knn_normalized(x_knn), self.k,
                 w2, b2, alpha=0.2,
-                interpret=not kernels.use_pallas(),
+                interpret=kernels.interpret_default(),
             )
 
         if kernels.use_pallas() and n >= 256 and self.impl != "gather":
@@ -232,7 +232,7 @@ class STN(nn.Module):
             w2k = cbl2(part="raw_conv", in_features=64)
             scale2, bias2, _, _ = cbl2(part="raw_bn")
             x, moments = kernels.edgeconv_train(
-                self.k, 0.2, not kernels.use_pallas(),
+                self.k, 0.2, kernels.interpret_default(),
                 u, w, ops.neighbors.knn_normalized(xyz32),
                 scale1, bias1, w2k, scale2, bias2,
             )
@@ -249,7 +249,7 @@ class STN(nn.Module):
             x = kernels.edgeconv_knn_pallas(
                 u, w, ops.neighbors.knn_normalized(xyz), self.k,
                 w2, b2, alpha=0.2,
-                interpret=not kernels.use_pallas(),
+                interpret=kernels.interpret_default(),
             )  # (B, N, 128), max over K fused
         else:
             # Train path (and non-Pallas eval): hoist cbl1's conv before

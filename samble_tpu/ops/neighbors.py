@@ -101,7 +101,8 @@ def knn_fast(a: jax.Array, b: jax.Array, k: int):
 
     if kernels.use_pallas() and a.shape[1] >= 256 and b.shape[1] >= 256 and k <= 128:
         an, bn = _normalize_pair(a, b)
-        return kernels.knn_pallas(an, bn, k)
+        return kernels.knn_pallas(an, bn, k,
+                                  interpret=kernels.interpret_default())
     return knn(a, b, k)
 
 

@@ -67,11 +67,16 @@ def make_mesh(
     if devices is None:
         devices = jax.devices()
     devices = np.asarray(devices)
+    mesh = Mesh(devices, (axis_name,))
     if devices.size > 1:
+        from samble_tpu.kernels import spmd
         from samble_tpu.ops import topk
 
         topk.set_spmd(True)
-    return Mesh(devices, (axis_name,))
+        # Pallas kernels also need explicit SPMD dispatch (kernels/spmd.py):
+        # without it GSPMD replicates every kernel call across the mesh
+        spmd.install_mesh(mesh, axis_name)
+    return mesh
 
 
 def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:

@@ -25,3 +25,19 @@ assert jax.device_count() == 8, (
     f"expected 8 virtual CPU devices, got {jax.device_count()} on "
     f"{jax.default_backend()}"
 )
+
+
+import pytest
+
+
+@pytest.fixture(autouse=True)
+def _reset_spmd_globals():
+    """The mesh layer installs process-global SPMD state (partition-safe
+    top-k flag, ambient kernel mesh).  Reset after every test so ordering
+    can't leak one test's mesh into another's single-device path."""
+    yield
+    from samble_tpu.kernels import spmd
+    from samble_tpu.ops import topk
+
+    spmd.install_mesh(None)
+    topk.set_spmd(False)

@@ -450,3 +450,49 @@ def test_attn_rows_pallas_matches_xla():
         np.asarray(out16.astype(jnp.float32)), np.asarray(ref),
         rtol=2e-2, atol=2e-2,
     )
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_attn_rows_vjp_matches_xla(dtype):
+    """The differentiable fused row attention (train path): forward AND all
+    three gradients must match the XLA chain it replaced — softmax in f32,
+    attn cast to compute dtype, @V (nn/downsample.py train branch)."""
+    from samble_tpu.kernels.attn_rows import attn_rows
+
+    rng = np.random.default_rng(11)
+    b, m, nt, d, c = 2, 64, 70, 16, 24
+    q = jnp.asarray(rng.normal(size=(b, m, d)).astype(np.float32)).astype(dtype)
+    k = jnp.asarray(rng.normal(size=(b, nt, d)).astype(np.float32)).astype(dtype)
+    v = jnp.asarray(rng.normal(size=(b, nt, c)).astype(np.float32)).astype(dtype)
+    scale = 1.0 / np.sqrt(d)
+
+    def xla_ref(q_, k_, v_):
+        attn = jax.nn.softmax(
+            jnp.einsum("bmd,btd->bmt", q_, k_).astype(jnp.float32) * scale,
+            axis=-1,
+        ).astype(v_.dtype)
+        return jnp.einsum("bmt,btc->bmc", attn, v_)
+
+    def loss_ref(q_, k_, v_):
+        return jnp.sum(xla_ref(q_, k_, v_).astype(jnp.float32) ** 2)
+
+    def loss_ker(q_, k_, v_):
+        return jnp.sum(
+            attn_rows(q_, k_, v_, float(scale), True).astype(jnp.float32) ** 2
+        )
+
+    out_ref = xla_ref(q, k, v)
+    out_ker = attn_rows(q, k, v, float(scale), True)
+    tol = dict(rtol=2e-2, atol=2e-2) if dtype == jnp.bfloat16 else dict(
+        rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(
+        np.asarray(out_ker, np.float32), np.asarray(out_ref, np.float32), **tol
+    )
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    g_ker = jax.grad(loss_ker, argnums=(0, 1, 2))(q, k, v)
+    for name, a, bb in zip("qkv", g_ref, g_ker):
+        np.testing.assert_allclose(
+            np.asarray(bb, np.float32), np.asarray(a, np.float32),
+            err_msg=f"d{name}", **tol
+        )
