@@ -169,7 +169,7 @@ def sparse_attention_score_pallas(
 def _score_fused_kernel(
     xa_ref, xb_ref, q_ref, k_ref, colsum_m_ref, colsum_f_ref, colcnt_ref,
     *, scale: float, n_valid: int, rows_valid: int, knn_k: int,
-    idx_bits: int, nk_pad: int, fast_sel: bool,
+    idx_bits: int, nk_pad: int, fast_sel: bool, bisect_rounds: int = 16,
 ):
     """kNN-fused variant of _score_kernel: the adjacency row is derived from
     recomputed packed distance keys (kernels/keys.py) and a per-row K-th-key
@@ -204,8 +204,8 @@ def _score_fused_kernel(
     key = keys_mod.packed_key_tile(
         xa_ref[0], xb_ref[0], idx_bits, rows_valid
     )  # (TILE, NKPAD) — point columns only
-    kth = (keys_mod.kth_smallest_key_fast(key, knn_k) if fast_sel
-           else keys_mod.kth_smallest_key(key, knn_k))
+    kth = (keys_mod.kth_smallest_key_fast(key, knn_k, bisect_rounds)
+           if fast_sel else keys_mod.kth_smallest_key(key, knn_k))
     # mask-width row-validity iota built directly (lane-slicing a wider
     # iota trips a Mosaic strided-slice bug on this toolchain)
     row_id_k = j * tile + jax.lax.broadcasted_iota(
@@ -235,7 +235,7 @@ def _score_fused_kernel(
 
 
 @functools.partial(jax.jit, static_argnames=("knn_k", "scale", "interpret",
-                                              "fast_sel"))
+                                              "fast_sel", "bisect_rounds"))
 def sparse_attention_score_fused(
     q: jax.Array,
     k: jax.Array,
@@ -244,6 +244,7 @@ def sparse_attention_score_fused(
     scale: float,
     interpret: bool = False,
     fast_sel: bool = True,
+    bisect_rounds: int = 16,
 ):
     """kNN-fused masked/unmasked column sums — no separate kNN kernel.
 
@@ -285,6 +286,7 @@ def sparse_attention_score_fused(
     kernel = functools.partial(
         _score_fused_kernel, scale=scale, n_valid=nt, rows_valid=n,
         knn_k=knn_k, idx_bits=idx_bits, nk_pad=nk_pad, fast_sel=fast_sel,
+        bisect_rounds=bisect_rounds,
     )
     colsum_m, colsum_f, colcnt = pl.pallas_call(
         kernel,

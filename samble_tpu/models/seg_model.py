@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from samble_tpu import ops
-from samble_tpu.nn.common import Conv1x1, PointBatchNorm, leaky_relu
+from samble_tpu.nn.common import Conv1x1, PointBatchNorm, bn_leaky_pool, leaky_relu
 from samble_tpu.nn.embedding import EdgeConv, STN
 from samble_tpu.models.factories import (
     make_attention_layer,
@@ -39,7 +39,7 @@ class SegFeatureBlock(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array):
+    def __call__(self, x: jax.Array, precomp_ec0=None):
         blk = self.cfg
         x_xyz = x[..., :3]  # (B, N, 3)
 
@@ -53,7 +53,7 @@ class SegFeatureBlock(nn.Module):
                 normal_channel=blk.embedding.get("normal_channel", False),
                 train=self.train,
                 dtype=self.dtype,
-            )(x)
+            )(x, precomp_ec0 if layer == 0 else None)
             emb_outs.append(x)
         x = jnp.concatenate(emb_outs, axis=-1)
         x = make_attention_layer(blk.attention, 0, self.train, self.dtype)(x)
@@ -165,6 +165,7 @@ class SegModel(nn.Module):
     num_categories: int = 16
     train: bool = True
     dtype: Any = jnp.float32
+    share_stn_front: bool = True  # one kNN-gather for STN + EdgeConv#0 (train)
 
     @nn.compact
     def __call__(self, x: jax.Array, category_onehot: jax.Array):
@@ -174,22 +175,56 @@ class SegModel(nn.Module):
         det = not self.train
 
         trans = None
+        precomp_ec0 = None
+        # Shared STN/EdgeConv#0 front (train only): both group 32-NN on the
+        # 3-d point cloud, so ONE fused kNN-gather feeds the STN slab and —
+        # because gather(x @ W) == gather(x) @ W — EdgeConv#0's neighbor
+        # term, with the STN transform folded in afterwards.  Documented
+        # deviation: EdgeConv#0's neighbor graph is then built on the
+        # PRE-transform xyz (the reference rebuilds it post-transform,
+        # models/seg_model.py:181-190 then embedding.py:29).  At init the
+        # STN is exactly the identity (zero-kernel/identity-bias head) and
+        # training regularizes it toward orthogonality (utils/loss.py:4-14),
+        # which preserves kNN, so the graphs coincide at init and stay
+        # near-identical; eval keeps the reference graph (no sharing).
+        share = (
+            self.share_stn_front
+            and self.train
+            and blk.get("STN", False)
+            and x.shape[-1] == 3
+            and len(blk.embedding.K) > 0
+            and int(blk.embedding.K[0]) == 32
+        )
         if blk.get("STN", False):
             # groups internally; (B, 3, 3).  Computation dtype follows the
             # model (bf16 under AMP); the returned transform is f32.
-            trans = STN(train=self.train, dtype=self.dtype)(x)
-            x = jnp.einsum("bnc,bcd->bnd", x, trans.astype(x.dtype))
+            stn = STN(train=self.train, dtype=self.dtype, share_front=share)
+            if share:
+                trans, front = stn(x)
+                x = jnp.einsum("bnc,bcd->bnd", x, trans.astype(x.dtype))
+                if front is not None:
+                    g_xyz, idx0 = front
+                    g_in0 = jnp.einsum(
+                        "bknc,bcd->bknd", g_xyz, trans.astype(g_xyz.dtype)
+                    )  # gathered POST-transform input rows for EdgeConv#0
+                    precomp_ec0 = (g_in0, idx0)
+            else:
+                trans = stn(x)
+                x = jnp.einsum("bnc,bcd->bnd", x, trans.astype(x.dtype))
 
         x_tmp, aux_list = SegFeatureBlock(
             cfg=blk, train=self.train, dtype=self.dtype
-        )(x)
+        )(x, precomp_ec0)
         # x_tmp: (B, N, C)
 
         h = Conv1x1(1024, dtype=self.dtype)(x_tmp)
-        h = PointBatchNorm(use_running_average=det, dtype=self.dtype)(h)
-        h = leaky_relu(h)  # (B, N, 1024)
-        h_max = jnp.max(h, axis=1)  # (B, 1024)
-        h_avg = jnp.mean(h, axis=1)  # (B, 1024)
+        bn_g = PointBatchNorm(use_running_average=det, dtype=self.dtype)
+        # max/mean-pool the normalized activations without materializing
+        # the (B, N, 1024) normalized slab (nn/common.py::bn_leaky_pool)
+        h_max, h_avg = bn_leaky_pool(
+            lambda um=None: bn_g(raw_features=1024, update_moments=um),
+            h, axis=1, train=self.train, mean_pool=True,
+        )  # (B, 1024) each
         global_feat = jnp.concatenate([h_max, h_avg], axis=-1)  # (B, 2048)
 
         cat = Conv1x1(64, dtype=self.dtype)(category_onehot.astype(self.dtype))

@@ -158,6 +158,58 @@ class ConvBNLeaky(nn.Module):
         return x
 
 
+def bn_leaky_pool(
+    raw_bn,
+    z: jax.Array,
+    axis: int,
+    *,
+    train: bool,
+    mean_pool: bool = False,
+    out_dtype: Any = None,
+):
+    """``pool(leaky(BN(z)))`` over ``axis`` without the normalized slab.
+
+    BatchNorm is a per-channel affine ``z·s + b`` and LeakyReLU is strictly
+    increasing, so the max over the pooled axis commutes with both:
+    ``max leaky(s·z + b) = leaky(s·(max z if s>0 else min z) + b)``.  The
+    (…, pooled, C) normalized/activated tensors therefore never exist —
+    XLA reduces ``z`` directly (moments, max, min fuse into one read) and
+    autodiff has no slab-sized residuals to save.  Exact vs the composed
+    chain up to float association (same moments formula as flax BatchNorm:
+    biased variance, eps 1e-5 inside rsqrt).
+
+    :param raw_bn: ``callable(update_moments=None) -> (scale, bias,
+        ra_mean, ra_var)`` — the RawBN accessor of a PointBatchNorm /
+        ConvBNLeaky (``raw_features`` / ``part='raw_bn'``), which aliases
+        the standard path's variable tree (checkpoints interchange).
+    :param z: pre-BatchNorm tensor, channels last.
+    :param axis: the axis to pool away (e.g. points or neighbors).
+    :param mean_pool: additionally return the mean of ``leaky(BN(z))``
+        over ``axis`` (computed as a fused elementwise+reduce read of
+        ``z`` — the mean does not commute through leaky).
+    :returns: pooled max, or ``(max, mean)`` when ``mean_pool``.
+    """
+    z32 = z.astype(jnp.float32)
+    if train:
+        red = tuple(i for i in range(z.ndim) if i != z.ndim - 1)
+        mu = jnp.mean(z32, axis=red)
+        var = jnp.mean(jnp.square(z32), axis=red) - jnp.square(mu)
+        sg = jax.lax.stop_gradient
+        scale, bias, _, _ = raw_bn((sg(mu), sg(var)))
+    else:
+        scale, bias, mu, var = raw_bn(None)
+    s = scale * jax.lax.rsqrt(var + 1e-5)
+    b = bias - mu * s
+    dtype = out_dtype or z.dtype
+    zmax = jnp.max(z32, axis=axis)
+    zmin = jnp.min(z32, axis=axis)
+    out = leaky_relu(jnp.where(s > 0, zmax, zmin) * s + b).astype(dtype)
+    if not mean_pool:
+        return out
+    mean = jnp.mean(leaky_relu(z32 * s + b), axis=axis).astype(dtype)
+    return out, mean
+
+
 def split_heads(x: jax.Array, num_heads: int) -> jax.Array:
     """(…, C) → (…, H, D) with head h owning channels [h·D, (h+1)·D).
 

@@ -12,7 +12,13 @@ import jax
 import jax.numpy as jnp
 
 from samble_tpu import ops
-from samble_tpu.nn.common import Conv1x1, ConvBNLeaky, PointBatchNorm, leaky_relu
+from samble_tpu.nn.common import (
+    Conv1x1,
+    ConvBNLeaky,
+    PointBatchNorm,
+    bn_leaky_pool,
+    leaky_relu,
+)
 
 
 def probe_cbl_affine(cbl, c_in: int, dtype=jnp.float32):
@@ -53,7 +59,7 @@ class EdgeConv(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, precomputed=None) -> jax.Array:
         # x: (B, N, C)
         # conv1 is linear (bias-free), so it commutes with the grouping:
         # conv1([center ‖ nb − center]) = (W_c − W_d)·x  +  gather(W_d·x).
@@ -89,6 +95,34 @@ class EdgeConv(nn.Module):
 
         bn1 = PointBatchNorm(use_running_average=not self.train, dtype=self.dtype)
         cbl = ConvBNLeaky(self.conv2_out, train=self.train, dtype=self.dtype)
+
+        if precomputed is not None:
+            # Shared-front path: the caller already gathered this layer's
+            # INPUT rows (K-first) under some externally chosen kNN graph —
+            # in the seg model, the raw-xyz graph shared with the STN front
+            # (one fused kNN-gather feeds both; see SegModel).  The 1x1
+            # conv is linear, so gather(x @ W) == gather(x) @ W and the
+            # neighbor term of the rank-1 pre-activation is one small
+            # matmul over the (B, K, N, C) slab instead of a second
+            # gather/scatter pair.  BN/conv algebra below is bitwise the
+            # gather branch's (same submodules, same call order — the
+            # parameter tree is unchanged).
+            g_in, _idx = precomputed
+            if self.group_type in ("center_diff", "center_neighbor"):
+                w_map = kernel[c:]
+            else:  # 'diff' | 'neighbor'
+                w_map = kernel
+            w_nb = jnp.einsum(
+                "bknc,cd->bknd", g_in.astype(self.dtype), w_map
+            )  # (B, K, N, conv1_out)
+            g = u[:, None] + w_nb
+            g = bn1(g)
+            g = leaky_relu(g)
+            z = cbl(g, part="conv")
+            return bn_leaky_pool(
+                lambda um=None: cbl(part="raw_bn", update_moments=um),
+                z, axis=1, train=self.train,
+            )  # (B, N, conv2_out)
 
         from samble_tpu import kernels
 
@@ -167,14 +201,20 @@ class EdgeConv(nn.Module):
             g = u[:, None] + w_nb
             g = bn1(g)
             g = leaky_relu(g)
-            g = cbl(g)
-            return jnp.max(g, axis=1)  # (B, N, conv2_out)
+            z = cbl(g, part="conv")
+            return bn_leaky_pool(
+                lambda um=None: cbl(part="raw_bn", update_moments=um),
+                z, axis=1, train=self.train,
+            )  # (B, N, conv2_out)
         idx = ops.neighbors.knn_indices(x_knn, self.k)
         g = u[:, :, None] + ops.index_points(w, idx)  # (B, N, K, conv1_out)
         g = bn1(g)
         g = leaky_relu(g)
-        g = cbl(g)
-        return jnp.max(g, axis=2)  # (B, N, conv2_out)
+        z = cbl(g, part="conv")
+        return bn_leaky_pool(
+            lambda um=None: cbl(part="raw_bn", update_moments=um),
+            z, axis=2, train=self.train,
+        )  # (B, N, conv2_out)
 
 
 class STN(nn.Module):
@@ -195,16 +235,18 @@ class STN(nn.Module):
 
     k: int = 32  # kNN degree of the grouping (hardcoded in the reference)
     impl: str = "auto"  # 'auto' | 'fused' | 'gather'
+    share_front: bool = False  # also return (gathered xyz K-first, idx)
     train: bool = True
     dtype: Any = jnp.float32  # computation dtype; params/BN moments stay f32
 
     @nn.compact
-    def __call__(self, xyz: jax.Array) -> jax.Array:
+    def __call__(self, xyz: jax.Array):
         # xyz: (B, N, 3)
         b, n, _ = xyz.shape
         xyz = xyz.astype(self.dtype)
         cbl1 = ConvBNLeaky(64, train=self.train, dtype=self.dtype)
         cbl2 = ConvBNLeaky(128, train=self.train, dtype=self.dtype)
+        front = None  # (gathered xyz (B,K,N,3), idx) when share_front
 
         from samble_tpu import kernels
 
@@ -268,20 +310,50 @@ class STN(nn.Module):
             if kernels.use_pallas() and n >= 256:
                 from samble_tpu.kernels.gather import gather_knn_kfirst
 
-                w_nb, _ = gather_knn_kfirst(
-                    w, ops.neighbors.knn_normalized(xyz), self.k
-                )  # (B, K, N, 64)
+                if self.share_front:
+                    # One fused kNN-gather serves TWO consumers: the 64-ch
+                    # STN front slab AND the raw gathered xyz the seg
+                    # model's EdgeConv#0 re-projects (gather is per-point
+                    # row selection, so gather(x @ W) == gather(x) @ W —
+                    # widening the gather 64 → 67 channels is free next to
+                    # a second full extraction + backward scatter pass).
+                    cat = jnp.concatenate([w, xyz], axis=-1)  # (B, N, 67)
+                    g_cat, idx = gather_knn_kfirst(
+                        cat, ops.neighbors.knn_normalized(xyz), self.k
+                    )  # (B, K, N, 67)
+                    w_nb = g_cat[..., : w.shape[-1]]
+                    front = (g_cat[..., w.shape[-1]:], idx)
+                else:
+                    w_nb, _ = gather_knn_kfirst(
+                        w, ops.neighbors.knn_normalized(xyz), self.k
+                    )  # (B, K, N, 64)
+                    front = None
                 g = u[:, None] + w_nb
                 kaxis = 1
             else:
                 idx = ops.neighbors.knn_indices(xyz, self.k)
                 g = u[:, :, None] + ops.index_points(w, idx)  # (B,N,K,64)
                 kaxis = 2
+                if self.share_front:
+                    # K-first layout to match the Pallas branch's contract
+                    g_xyz = jnp.transpose(
+                        ops.index_points(xyz, idx), (0, 2, 1, 3)
+                    )  # (B, K, N, 3)
+                    front = (g_xyz, idx)
+                else:
+                    front = None
             g = cbl1(g, part="bnleaky")
-            g = cbl2(g)
-            x = jnp.max(g, axis=kaxis)  # (B, N, 128)
-        x = ConvBNLeaky(1024, train=self.train, dtype=self.dtype)(x)
-        x = jnp.max(x, axis=1).astype(jnp.float32)  # (B, 1024)
+            z = cbl2(g, part="conv")
+            x = bn_leaky_pool(
+                lambda um=None: cbl2(part="raw_bn", update_moments=um),
+                z, axis=kaxis, train=self.train,
+            )  # (B, N, 128)
+        cbl3 = ConvBNLeaky(1024, train=self.train, dtype=self.dtype)
+        z3 = cbl3(x, part="conv")
+        x = bn_leaky_pool(
+            lambda um=None: cbl3(part="raw_bn", update_moments=um),
+            z3, axis=1, train=self.train,
+        ).astype(jnp.float32)  # (B, 1024)
         x = Conv1x1(512)(x)
         x = PointBatchNorm(use_running_average=not self.train)(x)
         x = leaky_relu(x)
@@ -297,4 +369,9 @@ class STN(nn.Module):
                 3, dtype=dtype
             ).reshape(shape),
         )(x)
-        return x.reshape(b, 3, 3)
+        trans = x.reshape(b, 3, 3)
+        if self.share_front:
+            # ``front`` is None when a fused branch ran (those kernels do
+            # not emit an index list) — the caller must fall back.
+            return trans, front
+        return trans

@@ -1,0 +1,74 @@
+"""Decompose the fused score kernel's cost: bisection rounds vs the rest.
+
+The DS-token rows of the primary eval config sit at ~25% of their HBM
+roofline (docs/kernels.md) — but the cost model says they are VPU-bound on
+the k-th-key *bisection* (16 rounds x ~3 full-width passes per row tile).
+This probe times the kernel as a function of ``bisect_rounds`` to get the
+per-round cost directly, plus the M=512 row-attention kernel and the
+XLA sampler tail, so the task-4 harvest lands where the time is.
+
+Run on an idle TPU:  python tools/probe_score_kernel.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_tpu_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+import jax.numpy as jnp
+
+from samble_tpu.kernels import attn_rows as attn_rows_mod
+from samble_tpu.kernels import score as score_mod
+from samble_tpu.utils.profiling import timeit_chained
+
+B, N, C, D, K, NB, M = 256, 1024, 128, 128, 32, 6, 512
+
+
+def main():
+    rng = np.random.default_rng(0)
+    q = jax.device_put(rng.normal(size=(B, N, D)).astype(np.float32))
+    k = jax.device_put(rng.normal(size=(B, N + NB, D)).astype(np.float32))
+    xn = jax.device_put(rng.normal(size=(B, N, C)).astype(np.float32))
+    scale = 1.0 / np.sqrt(D)
+
+    def run(rounds=16, fast=True):
+        def f(q):
+            cm, cf, cc = score_mod.sparse_attention_score_fused(
+                q, k, xn, K, float(scale), fast_sel=fast,
+                bisect_rounds=rounds,
+            )
+            return cm + cf + cc
+
+        return timeit_chained(f, q, iters=20)
+
+    base = run()
+    print(f"score kernel (fast_sel, 16 rounds): {base*1e3:7.2f} ms", flush=True)
+    for r in (12, 8, 4, 1):
+        t = run(rounds=r)
+        print(f"score kernel ({r:2d} rounds):           {t*1e3:7.2f} ms",
+              flush=True)
+    t_slow = run(fast=False)
+    print(f"score kernel (K-round extraction):  {t_slow*1e3:7.2f} ms",
+          flush=True)
+
+    # row-attention kernel (the other Pallas stage of DS eval)
+    qs = jax.device_put(rng.normal(size=(B, M, D)).astype(np.float32))
+    v = jax.device_put(rng.normal(size=(B, N + NB, D)).astype(np.float32))
+
+    def g(qs):
+        return attn_rows_mod.attn_rows_pallas(qs, k, v, float(scale))
+
+    print(f"attn_rows eval kernel:              {timeit_chained(g, qs, iters=20)*1e3:7.2f} ms",
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()
