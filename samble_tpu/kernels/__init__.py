@@ -64,6 +64,7 @@ from samble_tpu.kernels.score import (  # noqa: E402
     sparse_attention_score_fused,
     sparse_attention_score_pallas,
 )
+from samble_tpu.kernels.slab_chain import slab_chain  # noqa: E402
 
 __all__ = [
     "use_pallas",
@@ -77,4 +78,5 @@ __all__ = [
     "n2p_attention_fused",
     "sparse_attention_score_fused",
     "sparse_attention_score_pallas",
+    "slab_chain",
 ]

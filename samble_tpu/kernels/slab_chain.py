@@ -1,0 +1,345 @@
+"""Fused EdgeConv slab chain: BN1-affine → leaky → conv2 → pooled stats.
+
+After the fused kNN-gather produces the (B, K, N, C1) neighbor slab, the
+XLA train path still pays ~10.8 ms (fwd+bwd, B=64, N=1024) for a chain
+whose HBM roofline is ~2 ms (tools/probe_gather_kernels.py): BatchNorm
+normalize, LeakyReLU, the 1×1 conv, the K-max, and every saved residual
+each round-trip the 268 MB slab.  This kernel streams the slab ONCE per
+direction and keeps everything else in VMEM:
+
+  forward   y = leaky(s1·(u_i + w_nb) + b1);  z = y @ W2
+            → zmax, zmin (B, N, C2);  Σz, Σz² (B, C2)
+
+BN1's batch-moment affine (s1, b1) is computed OUTSIDE from a fused XLA
+reduce over the virtual slab (the u-broadcast add fuses into the reduce,
+so nothing materializes), which keeps the moment-coupling gradients on
+XLA's exact autodiff path.  BN2 is then applied by the caller to the
+POOLED values only (nn/common.py::bn_leaky_pool trick — BN2∘leaky is
+per-channel monotone, so max commutes; Σz/Σz² are exactly its moments).
+
+The custom VJP streams the slab once more: recompute y, z per tile
+(bitwise identical chunking → exact max/min tie masks, even-split like
+``jnp.max``'s gradient), route the pooled cotangents plus the moment
+cotangents (dΣz, dΣz² enter every pair), and emit d w_nb, d u, d W2,
+d s1, d b1.  Cross-grid accumulators (d W2, d s1, d b1) rely on the
+sequential TPU grid, the established pattern of kernels/score.py.
+
+Reference semantics: models/embedding.py:7-39 (EdgeConv conv stack),
+:42-97 (STN front); exactness gate in tests/test_slab_chain.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _leaky(x, alpha):
+    return jnp.where(x >= 0, x, alpha * x)
+
+
+def _tile_for(n: int) -> int:
+    return 128 if n % 128 == 0 else (64 if n % 64 == 0 else n)
+
+
+def _chunk_k(k: int) -> int:
+    ck = min(8, k)
+    while k % ck:
+        ck -= 1
+    return max(ck, 1)
+
+
+def _fwd_kernel(wnb_ref, u_ref, s1_ref, b1_ref, w2_ref,
+                zmax_ref, zmin_ref, zsum_ref, zsq_ref,
+                *, knn_k: int, alpha: float):
+    """One (batch, row-tile) cell.
+
+    wnb_ref: (1, K, TILE, C1);  u_ref: (1, TILE, C1)
+    s1/b1_ref: (1, C1) f32;     w2_ref: (C1, C2) f32
+    zmax/zmin_ref: (1, TILE, C2) f32
+    zsum/zsq_ref:  (1, 1, C2) f32 — accumulated over row tiles (j axis)
+    """
+    j = pl.program_id(1)
+    tile, c1 = u_ref.shape[1], u_ref.shape[2]
+    c2 = w2_ref.shape[1]
+    ck = _chunk_k(knn_k)
+
+    u = u_ref[0].astype(jnp.float32)  # (TILE, C1)
+    s1 = s1_ref[0].astype(jnp.float32)
+    b1 = b1_ref[0].astype(jnp.float32)
+    w2d = w2_ref[...].astype(wnb_ref.dtype)  # MXU-rate operand dtype
+
+    m = jnp.full((tile, c2), -jnp.inf, jnp.float32)
+    mn = jnp.full((tile, c2), jnp.inf, jnp.float32)
+    zs = jnp.zeros((1, c2), jnp.float32)
+    zq = jnp.zeros((1, c2), jnp.float32)
+    for k0 in range(0, knn_k, ck):
+        g = wnb_ref[0, k0:k0 + ck].astype(jnp.float32) + u[None]
+        y = _leaky(g * s1[None, None] + b1[None, None], alpha)
+        z = jax.lax.dot_general(
+            y.reshape(ck * tile, c1).astype(wnb_ref.dtype), w2d,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(ck, tile, c2)
+        m = jnp.maximum(m, jnp.max(z, axis=0))
+        mn = jnp.minimum(mn, jnp.min(z, axis=0))
+        zs = zs + jnp.sum(z, axis=(0, 1), keepdims=False)[None]
+        zq = zq + jnp.sum(z * z, axis=(0, 1), keepdims=False)[None]
+
+    zmax_ref[0] = m
+    zmin_ref[0] = mn
+
+    @pl.when(j == 0)
+    def _():
+        zsum_ref[0] = jnp.zeros_like(zsum_ref[0])
+        zsq_ref[0] = jnp.zeros_like(zsq_ref[0])
+
+    zsum_ref[0] += zs
+    zsq_ref[0] += zq
+
+
+def _bwd_kernel(wnb_ref, u_ref, s1_ref, b1_ref, w2_ref,
+                zmax_ref, zmin_ref, dmax_ref, dmin_ref, dsum_ref, dsq_ref,
+                dwnb_ref, du_ref, dw2_ref, ds1_ref, db1_ref,
+                *, knn_k: int, alpha: float):
+    """Backward cell: recompute y, z chunk-by-chunk (bitwise the forward's
+    values), route pooled + moment cotangents, stream d w_nb out."""
+    i, j = pl.program_id(0), pl.program_id(1)
+    tile, c1 = u_ref.shape[1], u_ref.shape[2]
+    c2 = w2_ref.shape[1]
+    ck = _chunk_k(knn_k)
+
+    u = u_ref[0].astype(jnp.float32)
+    s1 = s1_ref[0].astype(jnp.float32)
+    b1 = b1_ref[0].astype(jnp.float32)
+    w2d = w2_ref[...].astype(wnb_ref.dtype)  # MXU-rate operand dtype
+    zmax = zmax_ref[0]  # (TILE, C2) f32
+    zmin = zmin_ref[0]
+    dmax = dmax_ref[0].astype(jnp.float32)
+    dmin = dmin_ref[0].astype(jnp.float32)
+    dsum = dsum_ref[0, 0].astype(jnp.float32)  # (C2,)
+    dsq = dsq_ref[0, 0].astype(jnp.float32)
+
+    # tie counts for the even-split max/min subgradient (jnp.max semantics):
+    # first sweep counts, second sweep routes — both recompute z exactly.
+    cmx = jnp.zeros((tile, c2), jnp.float32)
+    cmn = jnp.zeros((tile, c2), jnp.float32)
+    for k0 in range(0, knn_k, ck):
+        g = wnb_ref[0, k0:k0 + ck].astype(jnp.float32) + u[None]
+        y = _leaky(g * s1[None, None] + b1[None, None], alpha)
+        z = jax.lax.dot_general(
+            y.reshape(ck * tile, c1).astype(wnb_ref.dtype), w2d,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(ck, tile, c2)
+        cmx = cmx + jnp.sum((z == zmax[None]).astype(jnp.float32), axis=0)
+        cmn = cmn + jnp.sum((z == zmin[None]).astype(jnp.float32), axis=0)
+    dmax_u = dmax / jnp.maximum(cmx, 1.0)
+    dmin_u = dmin / jnp.maximum(cmn, 1.0)
+
+    du_acc = jnp.zeros((tile, c1), jnp.float32)
+    dw2_acc = jnp.zeros((c1, c2), jnp.float32)
+    ds1_acc = jnp.zeros((1, c1), jnp.float32)
+    db1_acc = jnp.zeros((1, c1), jnp.float32)
+    for k0 in range(0, knn_k, ck):
+        g = wnb_ref[0, k0:k0 + ck].astype(jnp.float32) + u[None]
+        a = g * s1[None, None] + b1[None, None]
+        y = _leaky(a, alpha)
+        yf = y.reshape(ck * tile, c1).astype(wnb_ref.dtype)
+        z = jax.lax.dot_general(
+            yf, w2d, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(ck, tile, c2)
+        dz = (
+            (z == zmax[None]).astype(jnp.float32) * dmax_u[None]
+            + (z == zmin[None]).astype(jnp.float32) * dmin_u[None]
+            + dsum[None, None]
+            + 2.0 * z * dsq[None, None]
+        )  # (CK, TILE, C2)
+        dzf = dz.reshape(ck * tile, c2).astype(wnb_ref.dtype)
+        dy = jax.lax.dot_general(
+            dzf, w2d, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(ck, tile, c1)
+        dw2_acc = dw2_acc + jax.lax.dot_general(
+            yf, dzf, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        da = dy * jnp.where(a >= 0, 1.0, alpha)
+        dwnb_ref[0, k0:k0 + ck] = (da * s1[None, None]).astype(dwnb_ref.dtype)
+        du_acc = du_acc + jnp.sum(da * s1[None, None], axis=0)
+        ds1_acc = ds1_acc + jnp.sum(da * g, axis=(0, 1))[None]
+        db1_acc = db1_acc + jnp.sum(da, axis=(0, 1))[None]
+
+    du_ref[0] = du_acc.astype(du_ref.dtype)
+
+    @pl.when((i == 0) & (j == 0))
+    def _():
+        dw2_ref[...] = jnp.zeros_like(dw2_ref)
+        ds1_ref[0] = jnp.zeros_like(ds1_ref[0])
+        db1_ref[0] = jnp.zeros_like(db1_ref[0])
+
+    dw2_ref[...] += dw2_acc
+    ds1_ref[0] += ds1_acc
+    db1_ref[0] += db1_acc
+
+
+@functools.partial(jax.jit, static_argnames=("alpha", "interpret"))
+def _slab_chain_fwd_pallas(w_nb, u, s1, b1, w2, alpha: float,
+                           interpret: bool = False):
+    bsz, knn_k, n, c1 = w_nb.shape
+    c2 = w2.shape[1]
+    tile = _tile_for(n)
+    grid = (bsz, n // tile)
+    kern = functools.partial(_fwd_kernel, knn_k=knn_k, alpha=alpha)
+    zmax, zmin, zsum, zsq = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, knn_k, tile, c1), lambda i, j: (i, 0, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, c1), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c1), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c1), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c1, c2), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tile, c2), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, c2), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c2), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c2), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bsz, n, c2), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, n, c2), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, 1, c2), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, 1, c2), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(w_nb, u, s1.reshape(1, -1), b1.reshape(1, -1), w2)
+    return zmax, zmin, zsum[:, 0], zsq[:, 0]
+
+
+@functools.partial(jax.jit, static_argnames=("alpha", "interpret"))
+def _slab_chain_bwd_pallas(w_nb, u, s1, b1, w2, zmax, zmin,
+                           dmax, dmin, dsum, dsq, alpha: float,
+                           interpret: bool = False):
+    bsz, knn_k, n, c1 = w_nb.shape
+    c2 = w2.shape[1]
+    tile = _tile_for(n)
+    grid = (bsz, n // tile)
+    kern = functools.partial(_bwd_kernel, knn_k=knn_k, alpha=alpha)
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, knn_k, tile, c1), lambda i, j: (i, 0, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, c1), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c1), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c1), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c1, c2), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, c2), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, c2), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, c2), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, c2), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c2), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c2), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, knn_k, tile, c1), lambda i, j: (i, 0, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, c1), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c1, c2), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c1), lambda i, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c1), lambda i, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(w_nb.shape, w_nb.dtype),
+            jax.ShapeDtypeStruct(u.shape, jnp.float32),
+            jax.ShapeDtypeStruct((c1, c2), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1, c1), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1, c1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(w_nb, u, s1.reshape(1, -1), b1.reshape(1, -1), w2, zmax, zmin,
+      dmax, dmin, dsum[:, None], dsq[:, None])
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def slab_chain(w_nb, u, s1, b1, w2, alpha: float = 0.2,
+               interpret: bool = False):
+    """Streamed ``leaky(s1·(u + w_nb) + b1) @ w2`` with pooled outputs.
+
+    :param w_nb: (B, K, N, C1) gathered neighbor features (K-first)
+    :param u: (B, N, C1) per-point term, broadcast over K
+    :param s1: (C1,) f32 BN1 scale (γ1·rsqrt(var1+eps))
+    :param b1: (C1,) f32 BN1 shift (β1 − μ1·s1)
+    :param w2: (C1, C2) f32 conv kernel
+    :returns: ``(zmax (B,N,C2), zmin (B,N,C2), zsum (B,C2), zsumsq (B,C2))``
+        — per-point max/min of the pre-BN2 activations plus their moments'
+        raw sums; all f32.  Differentiable in every array input.
+    """
+    return _slab_chain_fwd_pallas(w_nb, u, s1, b1, w2, alpha, interpret)
+
+
+def _fwd(w_nb, u, s1, b1, w2, alpha, interpret):
+    out = _slab_chain_fwd_pallas(w_nb, u, s1, b1, w2, alpha, interpret)
+    zmax, zmin, _, _ = out
+    return out, (w_nb, u, s1, b1, w2, zmax, zmin)
+
+
+def _bwd(alpha, interpret, res, cts):
+    w_nb, u, s1, b1, w2, zmax, zmin = res
+    dmax, dmin, dsum, dsq = cts
+    dwnb, du, dw2, ds1, db1 = _slab_chain_bwd_pallas(
+        w_nb, u, s1, b1, w2, zmax, zmin,
+        dmax.astype(jnp.float32), dmin.astype(jnp.float32),
+        dsum.astype(jnp.float32), dsq.astype(jnp.float32),
+        alpha, interpret,
+    )
+    return (dwnb, du.astype(u.dtype), ds1[0, 0].astype(s1.dtype),
+            db1[0, 0].astype(b1.dtype), dw2.astype(w2.dtype))
+
+
+slab_chain.defvjp(_fwd, _bwd)
+
+
+# ---------------------------------------------------------------------------
+# SPMD dispatch: batch-shard over the ambient mesh (kernels/spmd.py).
+# ---------------------------------------------------------------------------
+from samble_tpu.kernels import spmd as _spmd  # noqa: E402
+
+slab_chain = _spmd.data_parallel(slab_chain, 2, n_replicated=3)

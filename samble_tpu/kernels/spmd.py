@@ -48,10 +48,13 @@ def active_mesh() -> Optional[Mesh]:
     return _MESH
 
 
-def data_parallel(fn, n_batched: int):
+def data_parallel(fn, n_batched: int, n_replicated: int = 0):
     """Wrap a kernel entry: the first ``n_batched`` positional args are
-    batch-sharded over the ambient mesh; everything else (weights, static
-    ints/floats) rides in the closure as replicated constants."""
+    batch-sharded over the ambient mesh; the next ``n_replicated`` are
+    REAL shard_map inputs with replicated specs (use this for any
+    *differentiable* non-batched arg — weights in the closure would not
+    get their cotangents reduced across devices); everything else (static
+    ints/floats, stop-grad arrays) rides in the closure."""
 
     @functools.wraps(fn)
     def wrapper(*args, **kwargs):
@@ -65,18 +68,19 @@ def data_parallel(fn, n_batched: int):
             or b % mesh.size != 0
         ):
             return fn(*args, **kwargs)
-        rest = args[n_batched:]
+        mapped = args[:n_batched + n_replicated]
+        rest = args[n_batched + n_replicated:]
 
-        def inner(*sharded_args):
-            return fn(*sharded_args, *rest, **kwargs)
+        def inner(*mapped_args):
+            return fn(*mapped_args, *rest, **kwargs)
 
         return jax.shard_map(
             inner,
             mesh=mesh,
-            in_specs=(P(_AXIS),) * n_batched,
+            in_specs=(P(_AXIS),) * n_batched + (P(),) * n_replicated,
             out_specs=P(_AXIS),
             check_vma=False,
-        )(*batched)
+        )(*mapped)
 
     wrapper.__wrapped_kernel__ = fn  # escape hatch for tests/tools
     return wrapper

@@ -21,6 +21,60 @@ from samble_tpu.nn.common import (
 )
 
 
+def fused_slab_chain_block(w_nb, u, raw_bn1, raw_conv2, raw_bn2, *,
+                           train: bool, dtype, interpret: bool = False):
+    """BN1 → leaky → conv2 → BN2 → leaky → max over K, slab-streamed.
+
+    Shared tail of every EdgeConv-shaped block once the (B, K, N, C1)
+    neighbor slab exists.  The chain runs as ONE Pallas pass per direction
+    (kernels/slab_chain.py) instead of XLA's ~10 slab round-trips: BN1's
+    batch moments come from a fused XLA reduce over the virtual slab (the
+    ``u`` broadcast-add fuses into the reduce), the kernel streams
+    leaky(s1·g+b1) @ W2 emitting per-point max/min and the Σz/Σz² that ARE
+    BN2's moments, and BN2∘leaky is applied to the pooled values only
+    (monotone-commute, nn/common.py::bn_leaky_pool).  Running statistics
+    update through the same RawBN accessors as the composed path — the
+    parameter tree and checkpoints are identical.
+
+    :param raw_bn1 / raw_bn2: ``callable(update_moments=None) ->
+        (scale, bias, ra_mean, ra_var)`` (PointBatchNorm ``raw_features`` /
+        ConvBNLeaky ``part='raw_bn'`` accessors)
+    :param raw_conv2: zero-arg callable returning the (C1, C2) f32 conv
+        kernel (ConvBNLeaky ``part='raw_conv'``)
+    """
+    from samble_tpu import kernels
+
+    sg = jax.lax.stop_gradient
+    b, k, n, c1 = w_nb.shape
+    p = b * k * n
+    w2 = raw_conv2()  # (C1, C2) f32
+
+    if train:
+        gv = w_nb.astype(jnp.float32) + u.astype(jnp.float32)[:, None]
+        mu1 = jnp.mean(gv, axis=(0, 1, 2))
+        var1 = jnp.mean(jnp.square(gv), axis=(0, 1, 2)) - jnp.square(mu1)
+        scale1, bias1, _, _ = raw_bn1((sg(mu1), sg(var1)))
+    else:
+        scale1, bias1, mu1, var1 = raw_bn1(None)
+    s1 = scale1 * jax.lax.rsqrt(var1 + 1e-5)
+    b1 = bias1 - mu1 * s1
+
+    zmax, zmin, zsum, zsq = kernels.slab_chain(
+        w_nb, u.astype(w_nb.dtype), s1, b1, w2, 0.2, interpret
+    )
+
+    if train:
+        mu2 = jnp.sum(zsum, axis=0) / p
+        var2 = jnp.sum(zsq, axis=0) / p - jnp.square(mu2)
+        scale2, bias2, _, _ = raw_bn2((sg(mu2), sg(var2)))
+    else:
+        scale2, bias2, mu2, var2 = raw_bn2(None)
+    s2 = scale2 * jax.lax.rsqrt(var2 + 1e-5)
+    b2 = bias2 - mu2 * s2
+    out = jnp.where(s2 > 0, zmax, zmin) * s2 + b2
+    return jnp.where(out >= 0, out, 0.2 * out).astype(dtype)
+
+
 def probe_cbl_affine(cbl, c_in: int, dtype=jnp.float32):
     """Recover the pre-activation affine of a ConvBNLeaky in eval mode.
 
@@ -115,6 +169,19 @@ class EdgeConv(nn.Module):
             w_nb = jnp.einsum(
                 "bknc,cd->bknd", g_in.astype(self.dtype), w_map
             )  # (B, K, N, conv1_out)
+            from samble_tpu import kernels as _k
+
+            if _k.use_pallas():
+                return fused_slab_chain_block(
+                    w_nb, u,
+                    lambda um=None: bn1(
+                        raw_features=self.conv1_out, update_moments=um
+                    ),
+                    lambda: cbl(part="raw_conv", in_features=self.conv1_out),
+                    lambda um=None: cbl(part="raw_bn", update_moments=um),
+                    train=self.train, dtype=self.dtype,
+                    interpret=_k.interpret_default(),
+                )
             g = u[:, None] + w_nb
             g = bn1(g)
             g = leaky_relu(g)
@@ -196,15 +263,18 @@ class EdgeConv(nn.Module):
             from samble_tpu.kernels.gather import gather_knn_kfirst
 
             w_nb, _ = gather_knn_kfirst(
-                w, ops.neighbors.knn_normalized(x_knn), self.k
+                w, ops.neighbors.knn_normalized(x_knn), self.k,
+                kernels.interpret_default(),
             )  # (B, K, N, C1)
-            g = u[:, None] + w_nb
-            g = bn1(g)
-            g = leaky_relu(g)
-            z = cbl(g, part="conv")
-            return bn_leaky_pool(
+            return fused_slab_chain_block(
+                w_nb, u,
+                lambda um=None: bn1(
+                    raw_features=self.conv1_out, update_moments=um
+                ),
+                lambda: cbl(part="raw_conv", in_features=self.conv1_out),
                 lambda um=None: cbl(part="raw_bn", update_moments=um),
-                z, axis=1, train=self.train,
+                train=self.train, dtype=self.dtype,
+                interpret=kernels.interpret_default(),
             )  # (B, N, conv2_out)
         idx = ops.neighbors.knn_indices(x_knn, self.k)
         g = u[:, :, None] + ops.index_points(w, idx)  # (B, N, K, conv1_out)
@@ -243,6 +313,7 @@ class STN(nn.Module):
     def __call__(self, xyz: jax.Array):
         # xyz: (B, N, 3)
         b, n, _ = xyz.shape
+        xyz_f32 = xyz.astype(jnp.float32)  # kNN graph stays f32 under AMP
         xyz = xyz.astype(self.dtype)
         cbl1 = ConvBNLeaky(64, train=self.train, dtype=self.dtype)
         cbl2 = ConvBNLeaky(128, train=self.train, dtype=self.dtype)
@@ -319,21 +390,30 @@ class STN(nn.Module):
                     # a second full extraction + backward scatter pass).
                     cat = jnp.concatenate([w, xyz], axis=-1)  # (B, N, 67)
                     g_cat, idx = gather_knn_kfirst(
-                        cat, ops.neighbors.knn_normalized(xyz), self.k
+                        cat, ops.neighbors.knn_normalized(xyz_f32), self.k,
+                        kernels.interpret_default(),
                     )  # (B, K, N, 67)
                     w_nb = g_cat[..., : w.shape[-1]]
                     front = (g_cat[..., w.shape[-1]:], idx)
                 else:
                     w_nb, _ = gather_knn_kfirst(
-                        w, ops.neighbors.knn_normalized(xyz), self.k
+                        w, ops.neighbors.knn_normalized(xyz_f32), self.k,
+                        kernels.interpret_default(),
                     )  # (B, K, N, 64)
                     front = None
-                g = u[:, None] + w_nb
-                kaxis = 1
+                # BN1→leaky→conv2 + pooled BN2 stream as one Pallas pass
+                # per direction (fused_slab_chain_block)
+                x = fused_slab_chain_block(
+                    w_nb, u,
+                    lambda um=None: cbl1(part="raw_bn", update_moments=um),
+                    lambda: cbl2(part="raw_conv", in_features=64),
+                    lambda um=None: cbl2(part="raw_bn", update_moments=um),
+                    train=self.train, dtype=self.dtype,
+                    interpret=kernels.interpret_default(),
+                )  # (B, N, 128)
             else:
-                idx = ops.neighbors.knn_indices(xyz, self.k)
+                idx = ops.neighbors.knn_indices(xyz_f32, self.k)
                 g = u[:, :, None] + ops.index_points(w, idx)  # (B,N,K,64)
-                kaxis = 2
                 if self.share_front:
                     # K-first layout to match the Pallas branch's contract
                     g_xyz = jnp.transpose(
@@ -342,12 +422,12 @@ class STN(nn.Module):
                     front = (g_xyz, idx)
                 else:
                     front = None
-            g = cbl1(g, part="bnleaky")
-            z = cbl2(g, part="conv")
-            x = bn_leaky_pool(
-                lambda um=None: cbl2(part="raw_bn", update_moments=um),
-                z, axis=kaxis, train=self.train,
-            )  # (B, N, 128)
+                g = cbl1(g, part="bnleaky")
+                z = cbl2(g, part="conv")
+                x = bn_leaky_pool(
+                    lambda um=None: cbl2(part="raw_bn", update_moments=um),
+                    z, axis=2, train=self.train,
+                )  # (B, N, 128)
         cbl3 = ConvBNLeaky(1024, train=self.train, dtype=self.dtype)
         z3 = cbl3(x, part="conv")
         x = bn_leaky_pool(

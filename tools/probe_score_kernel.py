@@ -40,18 +40,18 @@ def main():
     scale = 1.0 / np.sqrt(D)
 
     def run(rounds=16, fast=True):
-        def f(q):
+        def f(q, k, xn):
             cm, cf, cc = score_mod.sparse_attention_score_fused(
                 q, k, xn, K, float(scale), fast_sel=fast,
                 bisect_rounds=rounds,
             )
             return cm + cf + cc
 
-        return timeit_chained(f, q, iters=20)
+        return timeit_chained(f, q, iters=20, consts=(k, xn))
 
     base = run()
     print(f"score kernel (fast_sel, 16 rounds): {base*1e3:7.2f} ms", flush=True)
-    for r in (12, 8, 4, 1):
+    for r in (14, 18, 20, 24, 28):
         t = run(rounds=r)
         print(f"score kernel ({r:2d} rounds):           {t*1e3:7.2f} ms",
               flush=True)
@@ -63,10 +63,10 @@ def main():
     qs = jax.device_put(rng.normal(size=(B, M, D)).astype(np.float32))
     v = jax.device_put(rng.normal(size=(B, N + NB, D)).astype(np.float32))
 
-    def g(qs):
+    def g(qs, k, v):
         return attn_rows_mod.attn_rows_pallas(qs, k, v, float(scale))
 
-    print(f"attn_rows eval kernel:              {timeit_chained(g, qs, iters=20)*1e3:7.2f} ms",
+    print(f"attn_rows eval kernel:              {timeit_chained(g, qs, iters=20, consts=(k, v))*1e3:7.2f} ms",
           flush=True)
 
 

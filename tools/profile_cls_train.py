@@ -154,12 +154,10 @@ def main():
     from samble_tpu.nn.common import Conv1x1, PointBatchNorm, leaky_relu
 
     class ResLink(nn.Module):
+        # matches models/cls_model.py:64,84 — conv + global max, no BN
         @nn.compact
         def __call__(self, x):
-            h = Conv1x1(1024, dtype=DTYPE)(x)
-            h = PointBatchNorm(use_running_average=False, dtype=DTYPE)(h)
-            h = leaky_relu(h)
-            return jnp.max(h, axis=1)
+            return jnp.max(Conv1x1(1024, dtype=DTYPE)(x), axis=1)
 
     for n in (1024, 512, 256):
         results[f"res_{n}"] = time_grad(
