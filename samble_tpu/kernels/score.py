@@ -160,6 +160,9 @@ def sparse_attention_score_pallas(
             jax.ShapeDtypeStruct((bsz, 1, nt_pad), jnp.float32),
             jax.ShapeDtypeStruct((bsz, 1, nt_pad), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(q, k, nb_idx)
     # only point columns carry scores (token columns are key-side only)
@@ -170,6 +173,7 @@ def _score_fused_kernel(
     xa_ref, xb_ref, q_ref, k_ref, colsum_m_ref, colsum_f_ref, colcnt_ref,
     *, scale: float, n_valid: int, rows_valid: int, knn_k: int,
     idx_bits: int, nk_pad: int, fast_sel: bool, bisect_rounds: int = 16,
+    energy_bf16: bool = False,
 ):
     """kNN-fused variant of _score_kernel: the adjacency row is derived from
     recomputed packed distance keys (kernels/keys.py) and a per-row K-th-key
@@ -185,6 +189,9 @@ def _score_fused_kernel(
     k = k_ref[0]
     tile, nt = q.shape[0], k.shape[0]
 
+    if energy_bf16:
+        q = q.astype(jnp.bfloat16)
+        k = k.astype(jnp.bfloat16)
     energy = jax.lax.dot_general(
         q, k,
         dimension_numbers=(((1,), (1,)), ((), ())),
@@ -235,7 +242,8 @@ def _score_fused_kernel(
 
 
 @functools.partial(jax.jit, static_argnames=("knn_k", "scale", "interpret",
-                                              "fast_sel", "bisect_rounds"))
+                                              "fast_sel", "bisect_rounds",
+                                              "row_tile", "energy_bf16"))
 def sparse_attention_score_fused(
     q: jax.Array,
     k: jax.Array,
@@ -245,6 +253,8 @@ def sparse_attention_score_fused(
     interpret: bool = False,
     fast_sel: bool = True,
     bisect_rounds: int = 16,
+    row_tile: int = 256,
+    energy_bf16: bool = False,
 ):
     """kNN-fused masked/unmasked column sums — no separate kNN kernel.
 
@@ -264,7 +274,11 @@ def sparse_attention_score_fused(
     k = k.astype(jnp.float32)
     xn = xn.astype(jnp.float32)
 
-    tile = 128 if n % 128 == 0 else (64 if n % 64 == 0 else n)
+    # larger row tiles amortize per-grid-cell overhead (measured: the
+    # 16-round bisection is only ~4 ms of the 16.4 ms kernel at bs=256,
+    # N=1024 with 128-row tiles — see docs/kernels.md round-4 memo)
+    tile = next((t for t in (row_tile, 256, 128, 64) if t <= n and n % t == 0),
+                n)
     n_pad = _round_up(n, tile)
     nt_pad = _round_up(nt, 128)
     nk_pad = min(_round_up(n, 128), nt_pad)
@@ -286,7 +300,7 @@ def sparse_attention_score_fused(
     kernel = functools.partial(
         _score_fused_kernel, scale=scale, n_valid=nt, rows_valid=n,
         knn_k=knn_k, idx_bits=idx_bits, nk_pad=nk_pad, fast_sel=fast_sel,
-        bisect_rounds=bisect_rounds,
+        bisect_rounds=bisect_rounds, energy_bf16=energy_bf16,
     )
     colsum_m, colsum_f, colcnt = pl.pallas_call(
         kernel,
@@ -314,6 +328,9 @@ def sparse_attention_score_fused(
             jax.ShapeDtypeStruct((bsz, 1, nt_pad), jnp.float32),
             jax.ShapeDtypeStruct((bsz, 1, nt_pad), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(xn_rows, xn_cols, q, k)
     return colsum_m[:, 0, :n], colsum_f[:, 0, :n], colcnt[:, 0, :n]

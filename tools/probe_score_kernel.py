@@ -39,32 +39,29 @@ def main():
     xn = jax.device_put(rng.normal(size=(B, N, C)).astype(np.float32))
     scale = 1.0 / np.sqrt(D)
 
-    def run(rounds=16, fast=True):
+    def run(rounds=16, fast=True, tile=256, ebf16=False):
         def f(q, k, xn):
             cm, cf, cc = score_mod.sparse_attention_score_fused(
                 q, k, xn, K, float(scale), fast_sel=fast,
-                bisect_rounds=rounds,
+                bisect_rounds=rounds, row_tile=tile, energy_bf16=ebf16,
             )
             return cm + cf + cc
 
         return timeit_chained(f, q, iters=20, consts=(k, xn))
 
-    base = run()
-    print(f"score kernel (fast_sel, 16 rounds): {base*1e3:7.2f} ms", flush=True)
-    for r in (14, 18, 20, 24, 28):
-        t = run(rounds=r)
-        print(f"score kernel ({r:2d} rounds):           {t*1e3:7.2f} ms",
+    for tile, ebf in ((256, False), (256, True)):
+        t = run(tile=tile, ebf16=ebf)
+        print(f"score kernel (tile={tile}, bf16={int(ebf)}):     {t*1e3:7.2f} ms",
               flush=True)
-    t_slow = run(fast=False)
-    print(f"score kernel (K-round extraction):  {t_slow*1e3:7.2f} ms",
-          flush=True)
 
     # row-attention kernel (the other Pallas stage of DS eval)
     qs = jax.device_put(rng.normal(size=(B, M, D)).astype(np.float32))
     v = jax.device_put(rng.normal(size=(B, N + NB, D)).astype(np.float32))
 
+    from samble_tpu.kernels.attn_rows import attn_rows_pallas
+
     def g(qs, k, v):
-        return attn_rows_mod.attn_rows_pallas(qs, k, v, float(scale))
+        return attn_rows_pallas(qs, k, v, float(scale))
 
     print(f"attn_rows eval kernel:              {timeit_chained(g, qs, iters=20, consts=(k, v))*1e3:7.2f} ms",
           flush=True)
