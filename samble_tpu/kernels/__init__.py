@@ -64,7 +64,10 @@ from samble_tpu.kernels.score import (  # noqa: E402
     sparse_attention_score_fused,
     sparse_attention_score_pallas,
 )
-from samble_tpu.kernels.slab_chain import slab_chain  # noqa: E402
+from samble_tpu.kernels.slab_chain import (  # noqa: E402
+    slab_chain,
+    slab_chain_knn,
+)
 
 __all__ = [
     "use_pallas",
@@ -79,4 +82,5 @@ __all__ = [
     "sparse_attention_score_fused",
     "sparse_attention_score_pallas",
     "slab_chain",
+    "slab_chain_knn",
 ]

@@ -343,3 +343,370 @@ slab_chain.defvjp(_fwd, _bwd)
 from samble_tpu.kernels import spmd as _spmd  # noqa: E402
 
 slab_chain = _spmd.data_parallel(slab_chain, 2, n_replicated=3)
+
+
+# ===========================================================================
+# Composed variant: fused-kNN gather + slab chain with an IN-KERNEL backward
+# scatter.  The standalone decomposition pays, per EdgeConv backward: the
+# chain kernel's 268 MB d-slab write, an XLA pass adding the BN1
+# moment-path cotangent (c0 + c1·g, formed by autodiff), and the standalone
+# scatter kernel's read + one-hot builds.  Here the backward splits into a
+# stats pass (B1: tie counts, dW2, direct ds1/db1, slab row sums) and a
+# scatter pass (B2: recompute the chain, form the TOTAL per-pair cotangent
+# dg = da·s1 + c0 + c1·g — moment corrections included analytically — and
+# scatter it through the saved indices without the d-slab ever existing).
+# The moment algebra is the closed-form BatchNorm backward established in
+# kernels/edgeconv_train.py; exactness is gated differentially in
+# tests/test_slab_chain.py.
+# ===========================================================================
+
+
+def _bwd_stats_kernel(wnb_ref, u_ref, s1_ref, b1_ref, w2_ref,
+                      zmax_ref, zmin_ref, dmax_ref, dmin_ref,
+                      dsum_ref, dsq_ref,
+                      du_ref, srow_ref, dw2_ref, ds1_ref, db1_ref,
+                      cmx_ref, cmn_ref,
+                      *, knn_k: int, alpha: float):
+    """B1: everything the backward needs EXCEPT the input-slab cotangent —
+    identical math to _bwd_kernel minus the d w_nb stream, plus the tie
+    counts (cmx/cmn) and slab row sums (srow = Σ_k w_nb) the caller uses to
+    finish du and form the moment corrections."""
+    i, j = pl.program_id(0), pl.program_id(1)
+    tile, c1 = u_ref.shape[1], u_ref.shape[2]
+    c2 = w2_ref.shape[1]
+    ck = _chunk_k(knn_k)
+
+    u = u_ref[0].astype(jnp.float32)
+    s1 = s1_ref[0].astype(jnp.float32)
+    b1 = b1_ref[0].astype(jnp.float32)
+    w2d = w2_ref[...].astype(wnb_ref.dtype)
+    zmax = zmax_ref[0]
+    zmin = zmin_ref[0]
+    dmax = dmax_ref[0].astype(jnp.float32)
+    dmin = dmin_ref[0].astype(jnp.float32)
+    dsum = dsum_ref[0, 0].astype(jnp.float32)
+    dsq = dsq_ref[0, 0].astype(jnp.float32)
+
+    cmx = jnp.zeros((tile, c2), jnp.float32)
+    cmn = jnp.zeros((tile, c2), jnp.float32)
+    srow = jnp.zeros((tile, c1), jnp.float32)
+    for k0 in range(0, knn_k, ck):
+        wnb = wnb_ref[0, k0:k0 + ck].astype(jnp.float32)
+        srow = srow + jnp.sum(wnb, axis=0)
+        g = wnb + u[None]
+        y = _leaky(g * s1[None, None] + b1[None, None], alpha)
+        z = jax.lax.dot_general(
+            y.reshape(ck * tile, c1).astype(wnb_ref.dtype), w2d,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(ck, tile, c2)
+        cmx = cmx + jnp.sum((z == zmax[None]).astype(jnp.float32), axis=0)
+        cmn = cmn + jnp.sum((z == zmin[None]).astype(jnp.float32), axis=0)
+    cmx_ref[0] = cmx
+    cmn_ref[0] = cmn
+    srow_ref[0] = srow
+    dmax_u = dmax / jnp.maximum(cmx, 1.0)
+    dmin_u = dmin / jnp.maximum(cmn, 1.0)
+
+    du_acc = jnp.zeros((tile, c1), jnp.float32)
+    dw2_acc = jnp.zeros((c1, c2), jnp.float32)
+    ds1_acc = jnp.zeros((1, c1), jnp.float32)
+    db1_acc = jnp.zeros((1, c1), jnp.float32)
+    for k0 in range(0, knn_k, ck):
+        g = wnb_ref[0, k0:k0 + ck].astype(jnp.float32) + u[None]
+        a = g * s1[None, None] + b1[None, None]
+        y = _leaky(a, alpha)
+        yf = y.reshape(ck * tile, c1).astype(wnb_ref.dtype)
+        z = jax.lax.dot_general(
+            yf, w2d, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(ck, tile, c2)
+        dz = (
+            (z == zmax[None]).astype(jnp.float32) * dmax_u[None]
+            + (z == zmin[None]).astype(jnp.float32) * dmin_u[None]
+            + dsum[None, None]
+            + 2.0 * z * dsq[None, None]
+        )
+        dzf = dz.reshape(ck * tile, c2).astype(wnb_ref.dtype)
+        dy = jax.lax.dot_general(
+            dzf, w2d, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(ck, tile, c1)
+        dw2_acc = dw2_acc + jax.lax.dot_general(
+            yf, dzf, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        da = dy * jnp.where(a >= 0, 1.0, alpha)
+        du_acc = du_acc + jnp.sum(da * s1[None, None], axis=0)
+        ds1_acc = ds1_acc + jnp.sum(da * g, axis=(0, 1))[None]
+        db1_acc = db1_acc + jnp.sum(da, axis=(0, 1))[None]
+
+    du_ref[0] = du_acc
+
+    @pl.when((i == 0) & (j == 0))
+    def _():
+        dw2_ref[...] = jnp.zeros_like(dw2_ref)
+        ds1_ref[0] = jnp.zeros_like(ds1_ref[0])
+        db1_ref[0] = jnp.zeros_like(db1_ref[0])
+
+    dw2_ref[...] += dw2_acc
+    ds1_ref[0] += ds1_acc
+    db1_ref[0] += db1_acc
+
+
+def _bwd_scatter_kernel(wnb_ref, u_ref, idx_ref, s1_ref, b1_ref, w2_ref,
+                        zmax_ref, zmin_ref, dmaxu_ref, dminu_ref,
+                        dsum_ref, dsq_ref, c0_ref, c1_ref,
+                        dw_ref,
+                        *, knn_k: int, alpha: float):
+    """B2: recompute the chain per chunk, form the TOTAL per-pair input
+    cotangent dg = da·s1 + c0 + c1·g (chain + BN1 moment path), and
+    scatter-accumulate it into dw[j] through the saved neighbor indices —
+    the (B, K, N, C1) cotangent slab never exists in HBM.
+
+    dw_ref: (1, N, C1) f32 — accumulated across the row-tile grid axis.
+    """
+    from samble_tpu.kernels.gather import _sel_chunk
+
+    j = pl.program_id(1)
+    tile, c1 = u_ref.shape[1], u_ref.shape[2]
+    c2 = w2_ref.shape[1]
+    n = dw_ref.shape[1]
+    ck = _chunk_k(knn_k)
+
+    u = u_ref[0].astype(jnp.float32)
+    idx = idx_ref[0]
+    s1 = s1_ref[0].astype(jnp.float32)
+    b1 = b1_ref[0].astype(jnp.float32)
+    c0 = c0_ref[0].astype(jnp.float32)
+    c1c = c1_ref[0].astype(jnp.float32)
+    w2d = w2_ref[...].astype(wnb_ref.dtype)
+    zmax = zmax_ref[0]
+    zmin = zmin_ref[0]
+    dmax_u = dmaxu_ref[0].astype(jnp.float32)
+    dmin_u = dminu_ref[0].astype(jnp.float32)
+    dsum = dsum_ref[0, 0].astype(jnp.float32)
+    dsq = dsq_ref[0, 0].astype(jnp.float32)
+
+    dw_acc = jnp.zeros((n, c1), jnp.float32)
+    for k0 in range(0, knn_k, ck):
+        g = wnb_ref[0, k0:k0 + ck].astype(jnp.float32) + u[None]
+        a = g * s1[None, None] + b1[None, None]
+        y = _leaky(a, alpha)
+        yf = y.reshape(ck * tile, c1).astype(wnb_ref.dtype)
+        z = jax.lax.dot_general(
+            yf, w2d, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(ck, tile, c2)
+        dz = (
+            (z == zmax[None]).astype(jnp.float32) * dmax_u[None]
+            + (z == zmin[None]).astype(jnp.float32) * dmin_u[None]
+            + dsum[None, None]
+            + 2.0 * z * dsq[None, None]
+        )
+        dzf = dz.reshape(ck * tile, c2).astype(wnb_ref.dtype)
+        dy = jax.lax.dot_general(
+            dzf, w2d, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(ck, tile, c1)
+        da = dy * jnp.where(a >= 0, 1.0, alpha)
+        dg = da * s1[None, None] + c0[None, None] + c1c[None, None] * g
+        sel = _sel_chunk(k0, ck, idx, n, wnb_ref.dtype)
+        dw_acc = dw_acc + jax.lax.dot_general(
+            sel, dg.reshape(ck * tile, c1).astype(wnb_ref.dtype),
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(j == 0)
+    def _():
+        dw_ref[0] = jnp.zeros_like(dw_ref[0])
+
+    dw_ref[0] += dw_acc
+
+
+@functools.partial(jax.jit, static_argnames=("alpha", "interpret"))
+def _bwd_stats_pallas(w_nb, u, s1, b1, w2, zmax, zmin,
+                      dmax, dmin, dsum, dsq, alpha: float,
+                      interpret: bool = False):
+    bsz, knn_k, n, c1 = w_nb.shape
+    c2 = w2.shape[1]
+    tile = _tile_for(n)
+    grid = (bsz, n // tile)
+    kern = functools.partial(_bwd_stats_kernel, knn_k=knn_k, alpha=alpha)
+    row = lambda i, j: (i, j, 0)
+    bsp = lambda shp, im: pl.BlockSpec(shp, im, memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            bsp((1, knn_k, tile, c1), lambda i, j: (i, 0, j, 0)),
+            bsp((1, tile, c1), row),
+            bsp((1, c1), lambda i, j: (0, 0)),
+            bsp((1, c1), lambda i, j: (0, 0)),
+            bsp((c1, c2), lambda i, j: (0, 0)),
+            bsp((1, tile, c2), row),
+            bsp((1, tile, c2), row),
+            bsp((1, tile, c2), row),
+            bsp((1, tile, c2), row),
+            bsp((1, 1, c2), lambda i, j: (i, 0, 0)),
+            bsp((1, 1, c2), lambda i, j: (i, 0, 0)),
+        ],
+        out_specs=[
+            bsp((1, tile, c1), row),            # du_lin
+            bsp((1, tile, c1), row),            # srow
+            bsp((c1, c2), lambda i, j: (0, 0)),  # dw2
+            bsp((1, 1, c1), lambda i, j: (0, 0, 0)),  # ds1
+            bsp((1, 1, c1), lambda i, j: (0, 0, 0)),  # db1
+            bsp((1, tile, c2), row),            # cmx
+            bsp((1, tile, c2), row),            # cmn
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bsz, n, c1), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, n, c1), jnp.float32),
+            jax.ShapeDtypeStruct((c1, c2), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1, c1), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1, c1), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, n, c2), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, n, c2), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(w_nb, u, s1.reshape(1, -1), b1.reshape(1, -1), w2, zmax, zmin,
+      dmax, dmin, dsum[:, None], dsq[:, None])
+
+
+@functools.partial(jax.jit, static_argnames=("alpha", "interpret"))
+def _bwd_scatter_pallas(w_nb, u, idx, s1, b1, w2, zmax, zmin,
+                        dmax_u, dmin_u, dsum, dsq, c0, c1v, alpha: float,
+                        interpret: bool = False):
+    bsz, knn_k, n, c1 = w_nb.shape
+    c2 = w2.shape[1]
+    tile = _tile_for(n)
+    grid = (bsz, n // tile)
+    kern = functools.partial(_bwd_scatter_kernel, knn_k=knn_k, alpha=alpha)
+    row = lambda i, j: (i, j, 0)
+    bsp = lambda shp, im: pl.BlockSpec(shp, im, memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            bsp((1, knn_k, tile, c1), lambda i, j: (i, 0, j, 0)),
+            bsp((1, tile, c1), row),
+            bsp((1, tile, knn_k), row),
+            bsp((1, c1), lambda i, j: (0, 0)),
+            bsp((1, c1), lambda i, j: (0, 0)),
+            bsp((c1, c2), lambda i, j: (0, 0)),
+            bsp((1, tile, c2), row),
+            bsp((1, tile, c2), row),
+            bsp((1, tile, c2), row),
+            bsp((1, tile, c2), row),
+            bsp((1, 1, c2), lambda i, j: (i, 0, 0)),
+            bsp((1, 1, c2), lambda i, j: (i, 0, 0)),
+            bsp((1, c1), lambda i, j: (0, 0)),
+            bsp((1, c1), lambda i, j: (0, 0)),
+        ],
+        out_specs=bsp((1, n, c1), lambda i, j: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((bsz, n, c1), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(w_nb, u, idx, s1.reshape(1, -1), b1.reshape(1, -1), w2, zmax, zmin,
+      dmax_u, dmin_u, dsum[:, None], dsq[:, None],
+      c0.reshape(1, -1), c1v.reshape(1, -1))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
+def slab_chain_knn(w, u, xn, gamma1, beta1, w2, knn_k: int,
+                   alpha: float = 0.2, interpret: bool = False,
+                   axis_name=None):
+    """Fused-kNN gather + BN1 + slab chain with an in-kernel backward scatter.
+
+    Takes the BN1 parameters (γ, β) directly: the batch moments, the
+    normalize affine, the chain, and the ENTIRE BatchNorm batch-moment
+    backward (the c0 + c1·g per-pair correction, folded into the scatter
+    pass) live inside this one custom-VJP unit, so the (B, K, N, C1)
+    cotangent slab never exists in HBM and no separate scatter kernel runs.
+
+    :returns: ``(zmax, zmin, zsum, zsumsq, mu1, var1)`` — the last two are
+        the BN1 batch moments for the caller's running-stat update and MUST
+        be consumed under stop_gradient (their cotangents are ignored; the
+        moment path is already accounted for analytically).
+    ``axis_name`` (injected by kernels/spmd.py under a mesh) makes the
+    moments and the moment-coupling sums global across shards — SyncBN.
+    """
+    return _knn_fwd(w, u, xn, gamma1, beta1, w2, knn_k, alpha, interpret,
+                    axis_name)[0]
+
+
+def _knn_fwd(w, u, xn, gamma1, beta1, w2, knn_k, alpha, interpret,
+             axis_name):
+    from samble_tpu.kernels.gather import _gather_knn_pallas
+
+    w_nb, idx = _gather_knn_pallas(w, xn, knn_k, interpret)
+    gv = w_nb.astype(jnp.float32) + u.astype(jnp.float32)[:, None]
+    mu1 = jnp.mean(gv, axis=(0, 1, 2))
+    m2 = jnp.mean(jnp.square(gv), axis=(0, 1, 2))
+    if axis_name is not None:
+        mu1 = jax.lax.pmean(mu1, axis_name)
+        m2 = jax.lax.pmean(m2, axis_name)
+    var1 = m2 - jnp.square(mu1)
+    s1 = gamma1 * jax.lax.rsqrt(var1 + 1e-5)
+    b1 = beta1 - mu1 * s1
+    zmax, zmin, zsum, zsq = _slab_chain_fwd_pallas(
+        w_nb, u, s1, b1, w2, alpha, interpret
+    )
+    out = (zmax, zmin, zsum, zsq, mu1, var1)
+    return out, (w_nb, idx, u, s1, b1, w2, mu1, var1, zmax, zmin)
+
+
+def _knn_bwd(knn_k, alpha, interpret, axis_name, res, cts):
+    w_nb, idx, u, s1, b1, w2, mu1, var1, zmax, zmin = res
+    # mu1/var1 cotangents are intentionally dropped (docstring contract)
+    dmax, dmin, dsum, dsq = (c.astype(jnp.float32) for c in cts[:4])
+    k = w_nb.shape[1]
+    p = w_nb.shape[0] * k * w_nb.shape[2]
+
+    du_lin, srow, dw2, ds1, db1, cmx, cmn = _bwd_stats_pallas(
+        w_nb, u, s1, b1, w2, zmax, zmin, dmax, dmin, dsum, dsq,
+        alpha, interpret,
+    )
+    ds1 = ds1[0, 0]
+    db1 = db1[0, 0]
+    dmax_u = dmax / jnp.maximum(cmx, 1.0)
+    dmin_u = dmin / jnp.maximum(cmn, 1.0)
+
+    # closed-form BatchNorm moment backward; global across shards
+    ds1_g, db1_g, p_g = ds1, db1, p
+    if axis_name is not None:
+        ds1_g = jax.lax.psum(ds1, axis_name)
+        db1_g = jax.lax.psum(db1, axis_name)
+        p_g = p * jax.lax.psum(1, axis_name)
+    d_var = (ds1_g - mu1 * db1_g) * (-0.5) * s1 / (var1 + 1e-5)
+    d_mu = -s1 * db1_g
+    c1v = 2.0 * d_var / p_g
+    c0 = d_mu / p_g - 2.0 * mu1 * d_var / p_g
+
+    dw = _bwd_scatter_pallas(
+        w_nb, u, idx, s1, b1, w2, zmax, zmin, dmax_u, dmin_u,
+        dsum, dsq, c0, c1v, alpha, interpret,
+    )
+    # du = Σ_k dg = du_lin + K·c0 + c1·(K·u + Σ_k w_nb)
+    du = (du_lin + k * c0[None, None]
+          + c1v[None, None] * (k * u.astype(jnp.float32) + srow))
+    # γ/β direct-path gradients (s1 = γ·r, b1 = β − μ·s1, r = rsqrt(var+eps));
+    # LOCAL sums — shard_map psums replicated-input cotangents itself
+    r = jax.lax.rsqrt(var1 + 1e-5)
+    dgamma = ds1 * r - mu1 * r * db1
+    dbeta = db1
+    return (dw.astype(w_nb.dtype), du.astype(u.dtype), None,
+            dgamma, dbeta, dw2.astype(w2.dtype))
+
+
+slab_chain_knn.defvjp(_knn_fwd, _knn_bwd)
+
+slab_chain_knn = _spmd.data_parallel(slab_chain_knn, 3, n_replicated=3,
+                                     axis_arg_index=9)

@@ -48,13 +48,18 @@ def active_mesh() -> Optional[Mesh]:
     return _MESH
 
 
-def data_parallel(fn, n_batched: int, n_replicated: int = 0):
+def data_parallel(fn, n_batched: int, n_replicated: int = 0,
+                  axis_arg_index: int = None):
     """Wrap a kernel entry: the first ``n_batched`` positional args are
     batch-sharded over the ambient mesh; the next ``n_replicated`` are
     REAL shard_map inputs with replicated specs (use this for any
     *differentiable* non-batched arg — weights in the closure would not
     get their cotangents reduced across devices); everything else (static
-    ints/floats, stop-grad arrays) rides in the closure."""
+    ints/floats, stop-grad arrays) rides in the closure.  When
+    ``axis_arg_index`` is set, that positional arg (an ``axis_name`` slot
+    the caller passes as None) is replaced with the mesh axis name inside
+    the shard — kernels with cross-batch couplings (slab_chain_knn's BN
+    moment corrections) psum through it."""
 
     @functools.wraps(fn)
     def wrapper(*args, **kwargs):
@@ -68,6 +73,9 @@ def data_parallel(fn, n_batched: int, n_replicated: int = 0):
             or b % mesh.size != 0
         ):
             return fn(*args, **kwargs)
+        if axis_arg_index is not None and len(args) > axis_arg_index:
+            args = (args[:axis_arg_index] + (_AXIS,)
+                    + args[axis_arg_index + 1:])
         mapped = args[:n_batched + n_replicated]
         rest = args[n_batched + n_replicated:]
 

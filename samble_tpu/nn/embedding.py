@@ -75,6 +75,33 @@ def fused_slab_chain_block(w_nb, u, raw_bn1, raw_conv2, raw_bn2, *,
     return jnp.where(out >= 0, out, 0.2 * out).astype(dtype)
 
 
+def fused_slab_chain_knn_block(w, u, xn, knn_k, raw_bn1, raw_conv2,
+                               raw_bn2, *, dtype, interpret: bool = False):
+    """Train-mode EdgeConv tail with the gather, BN1 (params + moments +
+    exact moment backward), chain, and backward scatter all inside ONE
+    custom-VJP unit (kernels/slab_chain.py::slab_chain_knn) — the
+    cotangent slab never exists and no standalone scatter kernel runs.
+    Same parameter tree as every other path (RawBN aliasing)."""
+    from samble_tpu import kernels
+
+    sg = jax.lax.stop_gradient
+    gamma1, beta1, _, _ = raw_bn1(None)
+    w2 = raw_conv2()
+    zmax, zmin, zsum, zsq, mu1, var1 = kernels.slab_chain_knn(
+        w, u.astype(w.dtype), xn, gamma1, beta1, w2,
+        knn_k, 0.2, interpret, None,
+    )
+    raw_bn1((sg(mu1), sg(var1)))
+    p = w.shape[0] * knn_k * w.shape[1]
+    mu2 = jnp.sum(zsum, axis=0) / p
+    var2 = jnp.sum(zsq, axis=0) / p - jnp.square(mu2)
+    scale2, bias2, _, _ = raw_bn2((sg(mu2), sg(var2)))
+    s2 = scale2 * jax.lax.rsqrt(var2 + 1e-5)
+    b2 = bias2 - mu2 * s2
+    out = jnp.where(s2 > 0, zmax, zmin) * s2 + b2
+    return jnp.where(out >= 0, out, 0.2 * out).astype(dtype)
+
+
 def probe_cbl_affine(cbl, c_in: int, dtype=jnp.float32):
     """Recover the pre-activation affine of a ConvBNLeaky in eval mode.
 
@@ -260,12 +287,26 @@ class EdgeConv(nn.Module):
             # kNN pass disappears; the BN/conv algebra is bitwise the
             # layout-transposed twin of the axis-2 branch below (moments
             # span all non-channel axes either way).
+            if self.train:
+                return fused_slab_chain_knn_block(
+                    w, u, ops.neighbors.knn_normalized(x_knn), self.k,
+                    lambda um=None: bn1(
+                        raw_features=self.conv1_out, update_moments=um
+                    ),
+                    lambda: cbl(part="raw_conv",
+                                in_features=self.conv1_out),
+                    lambda um=None: cbl(part="raw_bn", update_moments=um),
+                    dtype=self.dtype,
+                    interpret=kernels.interpret_default(),
+                )  # (B, N, conv2_out)
+            # eval corner (k > 128 keeps the fused eval kernel away):
+            # running-average BN through the two-step chain
             from samble_tpu.kernels.gather import gather_knn_kfirst
 
             w_nb, _ = gather_knn_kfirst(
                 w, ops.neighbors.knn_normalized(x_knn), self.k,
                 kernels.interpret_default(),
-            )  # (B, K, N, C1)
+            )
             return fused_slab_chain_block(
                 w_nb, u,
                 lambda um=None: bn1(
@@ -273,7 +314,7 @@ class EdgeConv(nn.Module):
                 ),
                 lambda: cbl(part="raw_conv", in_features=self.conv1_out),
                 lambda um=None: cbl(part="raw_bn", update_moments=um),
-                train=self.train, dtype=self.dtype,
+                train=False, dtype=self.dtype,
                 interpret=kernels.interpret_default(),
             )  # (B, N, conv2_out)
         idx = ops.neighbors.knn_indices(x_knn, self.k)
@@ -395,22 +436,51 @@ class STN(nn.Module):
                     )  # (B, K, N, 67)
                     w_nb = g_cat[..., : w.shape[-1]]
                     front = (g_cat[..., w.shape[-1]:], idx)
+                    # shared-front slab: BN1→leaky→conv2 + pooled BN2
+                    # stream as one Pallas pass per direction
+                    x = fused_slab_chain_block(
+                        w_nb, u,
+                        lambda um=None: cbl1(part="raw_bn",
+                                             update_moments=um),
+                        lambda: cbl2(part="raw_conv", in_features=64),
+                        lambda um=None: cbl2(part="raw_bn",
+                                             update_moments=um),
+                        train=self.train, dtype=self.dtype,
+                        interpret=kernels.interpret_default(),
+                    )  # (B, N, 128)
+                elif self.train:
+                    # unshared: gather + chain + backward scatter composed
+                    # into one custom-VJP unit (the cotangent slab never
+                    # exists in HBM)
+                    x = fused_slab_chain_knn_block(
+                        w, u, ops.neighbors.knn_normalized(xyz_f32),
+                        self.k,
+                        lambda um=None: cbl1(part="raw_bn",
+                                             update_moments=um),
+                        lambda: cbl2(part="raw_conv", in_features=64),
+                        lambda um=None: cbl2(part="raw_bn",
+                                             update_moments=um),
+                        dtype=self.dtype,
+                        interpret=kernels.interpret_default(),
+                    )  # (B, N, 128)
+                    front = None
                 else:
+                    # eval with impl='gather' forced: running-average BN
                     w_nb, _ = gather_knn_kfirst(
                         w, ops.neighbors.knn_normalized(xyz_f32), self.k,
                         kernels.interpret_default(),
-                    )  # (B, K, N, 64)
+                    )
+                    x = fused_slab_chain_block(
+                        w_nb, u,
+                        lambda um=None: cbl1(part="raw_bn",
+                                             update_moments=um),
+                        lambda: cbl2(part="raw_conv", in_features=64),
+                        lambda um=None: cbl2(part="raw_bn",
+                                             update_moments=um),
+                        train=False, dtype=self.dtype,
+                        interpret=kernels.interpret_default(),
+                    )  # (B, N, 128)
                     front = None
-                # BN1→leaky→conv2 + pooled BN2 stream as one Pallas pass
-                # per direction (fused_slab_chain_block)
-                x = fused_slab_chain_block(
-                    w_nb, u,
-                    lambda um=None: cbl1(part="raw_bn", update_moments=um),
-                    lambda: cbl2(part="raw_conv", in_features=64),
-                    lambda um=None: cbl2(part="raw_bn", update_moments=um),
-                    train=self.train, dtype=self.dtype,
-                    interpret=kernels.interpret_default(),
-                )  # (B, N, 128)
             else:
                 idx = ops.neighbors.knn_indices(xyz_f32, self.k)
                 g = u[:, :, None] + ops.index_points(w, idx)  # (B,N,K,64)

@@ -170,3 +170,133 @@ def test_sharded_grads_match_unsharded():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4, err_msg=name
         )
+
+
+# ---------------------------------------------------------------------------
+# slab_chain_knn: gather + BN1 (moments inside) + chain + backward scatter
+# ---------------------------------------------------------------------------
+
+
+def _knn_reference(w, u, xn, gamma1, beta1, w2, k):
+    """Full XLA composition: kNN gather, batch-moment BN1 (differentiable
+    moments), leaky, conv — the exact function slab_chain_knn fuses."""
+    from samble_tpu import ops
+
+    idx = ops.neighbors.knn_indices(xn, k)  # (B, N, K) — same graph family
+    w_nb = jnp.take_along_axis(
+        w[:, None], idx[..., None].transpose(0, 2, 1, 3), axis=2
+    )  # -> build via vmap gather instead for clarity
+    # simpler: one-hot gather (exact)
+    n = w.shape[1]
+    oh = jax.nn.one_hot(idx, n, dtype=jnp.float32)  # (B, N, K, N)
+    w_nb = jnp.einsum("bikn,bnc->bkic", oh, w.astype(jnp.float32))
+    g = w_nb + u.astype(jnp.float32)[:, None]  # (B, K, N, C1)
+    mu = jnp.mean(g, axis=(0, 1, 2))
+    var = jnp.mean(jnp.square(g), axis=(0, 1, 2)) - jnp.square(mu)
+    s1 = gamma1 * jax.lax.rsqrt(var + 1e-5)
+    b1 = beta1 - mu * s1
+    a = g * s1 + b1
+    y = jnp.where(a >= 0, a, ALPHA * a)
+    z = jax.lax.dot_general(
+        y.astype(w.dtype), w2.astype(w.dtype), (((3,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return (jnp.max(z, axis=1), jnp.min(z, axis=1),
+            jnp.sum(z, axis=(1, 2)), jnp.sum(z * z, axis=(1, 2)),
+            mu, var)
+
+
+def _knn_data(dtype=jnp.float32):
+    rng = np.random.default_rng(3)
+    w = jnp.asarray(rng.normal(size=(B, N, C1)), dtype)
+    u = jnp.asarray(rng.normal(size=(B, N, C1)), dtype)
+    xn = jnp.asarray(rng.normal(size=(B, N, 3)).astype(np.float32))
+    gamma1 = jnp.asarray(rng.normal(size=C1).astype(np.float32))
+    beta1 = jnp.asarray(rng.normal(size=C1).astype(np.float32))
+    w2 = jnp.asarray(rng.normal(size=(C1, C2)).astype(np.float32) * 0.3)
+    return w, u, xn, gamma1, beta1, w2
+
+
+def test_knn_forward_matches_composition():
+    from samble_tpu.kernels.slab_chain import slab_chain_knn
+    from samble_tpu import ops
+
+    w, u, xn, gamma1, beta1, w2 = _knn_data()
+    xnn = ops.neighbors.knn_normalized(xn)
+    out_k = slab_chain_knn(w, u, xnn, gamma1, beta1, w2, K, ALPHA, True,
+                           None)
+    out_r = _knn_reference(w, u, xn, gamma1, beta1, w2, K)
+    for a, b, name in zip(out_k, out_r,
+                          ("zmax", "zmin", "zsum", "zsq", "mu", "var")):
+        scale = max(1.0, float(jnp.abs(b).max()))
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4 * scale,
+            err_msg=name,
+        )
+
+
+def test_knn_gradients_match_composition():
+    """The whole point: d w must equal the composition's gradient INCLUDING
+    the BatchNorm batch-moment path (handled analytically via c0 + c1·g in
+    the fused backward scatter)."""
+    from samble_tpu.kernels.slab_chain import slab_chain_knn
+    from samble_tpu import ops
+
+    w, u, xn, gamma1, beta1, w2 = _knn_data()
+    xnn = ops.neighbors.knn_normalized(xn)
+    rng = np.random.default_rng(4)
+    wts = [jnp.asarray(rng.normal(size=(B, N, C2)).astype(np.float32)),
+           jnp.asarray(rng.normal(size=(B, N, C2)).astype(np.float32)),
+           jnp.asarray(rng.normal(size=(B, C2)).astype(np.float32)) * 0.1,
+           jnp.asarray(rng.normal(size=(B, C2)).astype(np.float32)) * 0.01]
+
+    def loss_k(w, u, gamma1, beta1, w2):
+        outs = slab_chain_knn(w, u, xnn, gamma1, beta1, w2, K, ALPHA, True,
+                              None)
+        return sum(jnp.sum(o * wt) for o, wt in zip(outs[:4], wts))
+
+    def loss_r(w, u, gamma1, beta1, w2):
+        outs = _knn_reference(w, u, xn, gamma1, beta1, w2, K)
+        return sum(jnp.sum(o * wt) for o, wt in zip(outs[:4], wts))
+
+    gk = jax.grad(loss_k, argnums=(0, 1, 2, 3, 4))(w, u, gamma1, beta1, w2)
+    gr = jax.grad(loss_r, argnums=(0, 1, 2, 3, 4))(w, u, gamma1, beta1, w2)
+    for a, b, name in zip(gk, gr, ("dw", "du", "dgamma", "dbeta", "dw2")):
+        a32, b32 = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        scale = max(1.0, float(np.abs(b32).max()))
+        np.testing.assert_allclose(a32, b32, rtol=3e-4, atol=3e-4 * scale,
+                                   err_msg=name)
+
+
+def test_knn_sharded_matches_unsharded():
+    """Under a mesh the BN moments and the moment-coupling sums go global
+    (pmean/psum through the injected axis) — SyncBN semantics."""
+    import jax.sharding as shd
+
+    from samble_tpu import ops
+    from samble_tpu.kernels import spmd
+    from samble_tpu.kernels.slab_chain import slab_chain_knn
+
+    w, u, xn, gamma1, beta1, w2 = _knn_data()
+    xnn = ops.neighbors.knn_normalized(xn)
+
+    def loss(w, u, gamma1, beta1, w2):
+        outs = slab_chain_knn(w, u, xnn, gamma1, beta1, w2, K, ALPHA, True,
+                              None)
+        return (jnp.sum(jnp.sin(outs[0])) + jnp.sum(outs[1])
+                + 0.1 * jnp.sum(outs[2]) + 0.01 * jnp.sum(outs[3]))
+
+    grad_f = jax.grad(loss, argnums=(0, 1, 2, 3, 4))
+    g_ref = grad_f(w, u, gamma1, beta1, w2)
+    mesh = shd.Mesh(np.array(jax.devices()[:2]), ("data",))
+    spmd.install_mesh(mesh)
+    try:
+        g_sh = jax.jit(grad_f)(w, u, gamma1, beta1, w2)
+    finally:
+        spmd.install_mesh(None)
+    for a, b, name in zip(g_ref, g_sh,
+                          ("dw", "du", "dgamma", "dbeta", "dw2")):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4,
+            err_msg=name,
+        )
