@@ -179,14 +179,22 @@ def test_sharded_grads_match_unsharded():
 
 def _knn_reference(w, u, xn, gamma1, beta1, w2, k):
     """Full XLA composition: kNN gather, batch-moment BN1 (differentiable
-    moments), leaky, conv — the exact function slab_chain_knn fuses."""
-    from samble_tpu import ops
+    moments), leaky, conv — the exact function slab_chain_knn fuses.
 
-    idx = ops.neighbors.knn_indices(xn, k)  # (B, N, K) — same graph family
-    w_nb = jnp.take_along_axis(
-        w[:, None], idx[..., None].transpose(0, 2, 1, 3), axis=2
-    )  # -> build via vmap gather instead for clarity
-    # simpler: one-hot gather (exact)
+    The neighbor graph comes from the PALLAS extraction itself (the kernel
+    emits its index list), so this gate pins the chain + BatchNorm-moment
+    backward math, not kNN tie-breaking — packed-key-vs-XLA near-tie
+    divergence has its own gates (test_kernels, the bench idx_match row)
+    and otherwise flips a handful of neighbors whenever the XLA knn
+    program's float contraction order changes (e.g. a foreign-machine AOT
+    cache hit), which is noise for THIS test's purpose."""
+    from samble_tpu import ops
+    from samble_tpu.kernels.gather import _gather_knn_pallas
+
+    xnn = ops.neighbors.knn_normalized(xn)
+    idx = jax.lax.stop_gradient(
+        _gather_knn_pallas(jnp.zeros_like(w), xnn, k, True)[1]
+    )  # (B, N, K) — the kernel family's own graph
     n = w.shape[1]
     oh = jax.nn.one_hot(idx, n, dtype=jnp.float32)  # (B, N, K, N)
     w_nb = jnp.einsum("bikn,bnc->bkic", oh, w.astype(jnp.float32))
