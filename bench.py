@@ -74,6 +74,7 @@ import time
 
 REFERENCE_CLOUDS_PER_SEC = 191.78  # round-1 anchor (BENCH_r01.json)
 V5E_BF16_PEAK_FLOPS = 197e12  # TPU v5e per-chip peak, bf16
+V5E_HBM_GBPS = 819  # TPU v5e per-chip HBM bandwidth, GB/s
 TIME_BUDGET_S = 1500  # global wall-clock ceiling for the whole bench
 PRIMARY_TIMEOUT_S = 600  # hard deadline for the primary child (worst case
 # observed cold: >480s for setup + 3 compiles; the child now prints after
@@ -478,10 +479,10 @@ def run_primary():
         return  # every batch size failed; parent records the error
 
     # ---- off the critical path from here on ----
-    flops = _flops_of(
-        forward,
-        jax.device_put(rng.normal(size=(best_bs, 1024, 3)).astype(np.float32)),
+    probe = jax.device_put(
+        rng.normal(size=(best_bs, 1024, 3)).astype(np.float32)
     )
+    flops = _flops_of(forward, probe)
     if flops:
         flops_per_sec = flops / best_bs * best
         result["flops_per_cloud_G"] = round(flops / best_bs / 1e9, 3)
@@ -490,6 +491,28 @@ def run_primary():
         _log(f"# primary MFU: {result['mfu_pct']}% "
              f"({result['tflops_per_sec']} TFLOP/s, "
              f"{result['flops_per_cloud_G']} GF/cloud)")
+    # whole-step HBM bytes → bandwidth utilization: for this selection-
+    # bound model MFU is the wrong single lens (docs/kernels.md roofline
+    # memo); record the binding-roofline view in the artifact too.
+    # Caveat: cost_analysis bytes exclude Pallas kernels' internal traffic
+    # (custom calls), so this is the XLA-visible floor.
+    from samble_tpu.utils.profiling import bytes_estimate, session_calibration
+
+    hbm_bytes = bytes_estimate(forward, probe)
+    if hbm_bytes:
+        gbps = hbm_bytes / best_bs * best / 1e9
+        result["hbm_GB_per_cloud"] = round(hbm_bytes / best_bs / 1e9, 4)
+        result["hbm_gbps"] = round(gbps, 1)
+        result["hbm_bw_util_pct"] = round(100 * gbps / V5E_HBM_GBPS, 2)
+        _log(f"# primary HBM: {result['hbm_gbps']} GB/s "
+             f"({result['hbm_bw_util_pct']}% of {V5E_HBM_GBPS} GB/s)")
+    # fixed calibration kernels: the chip's DELIVERED matmul/bandwidth
+    # state this session, so the record quantifies the box's ±25% drift
+    try:
+        result["calibration"] = session_calibration()
+        _log(f"# calibration: {result['calibration']}")
+    except Exception as e:
+        _log(f"# calibration failed: {type(e).__name__}: {e}")
 
     trace_dir = os.environ.get("SAMBLE_BENCH_TRACE")
     if trace_dir:

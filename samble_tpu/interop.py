@@ -166,6 +166,106 @@ def downsample_token_tree(sd: Mapping[str, Any], p: str):
     return params, stats
 
 
+def downsample_apes_tree(sd: Mapping[str, Any], p: str, *,
+                         res: bool = False, ff: bool = False,
+                         pe: bool = False, pe_mode: str = "III"):
+    """Reference ``DownSampleCarve`` / ``DownSampleLocal`` /
+    ``DownSampleGlobal`` (models/downsample.py:381,818,1232) →
+    nn.DownSampleCarve / Local / Global.
+
+    All three share the q/k/v conv trio (reference ``q_conv/k_conv/v_conv``;
+    flax call order q→Conv1x1_0, k→Conv1x1_1, v→Conv1x1_2).  Carve's
+    optional positional-encoding convs follow (our call order: q_pe, v_pe,
+    then k_pe for mode IV — nn/downsample.py:357-367), then the optional
+    res-link BN/ffn (``_res_block``: PointBatchNorm_0, Conv1x1 512,
+    Conv1x1 C, PointBatchNorm_1)."""
+    params = {
+        "Conv1x1_0": _conv1x1(sd, f"{p}q_conv.weight"),
+        "Conv1x1_1": _conv1x1(sd, f"{p}k_conv.weight"),
+        "Conv1x1_2": _conv1x1(sd, f"{p}v_conv.weight"),
+    }
+    stats: dict = {}
+    nxt = 3
+    if pe:
+        params[f"Conv1x1_{nxt}"] = _conv1x1(sd, f"{p}q_pe_conv.weight")
+        params[f"Conv1x1_{nxt + 1}"] = _conv1x1(sd, f"{p}v_pe_conv.weight")
+        nxt += 2
+        if pe_mode == "IV":
+            params[f"Conv1x1_{nxt}"] = _conv1x1(sd, f"{p}k_pe_conv.weight")
+            nxt += 1
+    if res:
+        params["PointBatchNorm_0"] = _bn_params(sd, f"{p}bn1")
+        stats["PointBatchNorm_0"] = _bn_stats(sd, f"{p}bn1")
+        if ff:
+            params[f"Conv1x1_{nxt}"] = _conv1x1(sd, f"{p}ffn.0.weight")
+            params[f"Conv1x1_{nxt + 1}"] = _conv1x1(sd, f"{p}ffn.2.weight")
+            params["PointBatchNorm_1"] = _bn_params(sd, f"{p}bn2")
+            stats["PointBatchNorm_1"] = _bn_stats(sd, f"{p}bn2")
+    return params, stats
+
+
+def upsample_attention_tree(sd: Mapping[str, Any], p: str):
+    """Reference ``UpSample`` (crossA, models/upsample.py:8-65) /
+    ``UpSampleSelfAttention`` (:68-133) → nn.UpSampleCrossAttention /
+    nn.UpSampleSelfAttention.  Both are the q/k/v trio plus the
+    ``skip_link`` conv (flax call order: q, k, v, skip → Conv1x1_0..3)."""
+    params = {
+        "Conv1x1_0": _conv1x1(sd, f"{p}q_conv.weight"),
+        "Conv1x1_1": _conv1x1(sd, f"{p}k_conv.weight"),
+        "Conv1x1_2": _conv1x1(sd, f"{p}v_conv.weight"),
+        "Conv1x1_3": _conv1x1(sd, f"{p}skip_link.weight"),
+    }
+    return params, {}
+
+
+_DS_MODULE_NAME = {
+    "token": "DownSampleToken",
+    "global_carve": "DownSampleCarve",
+    "local": "DownSampleLocal",
+    "global": "DownSampleGlobal",
+}
+
+
+def _import_downsample_layer(sd, blk, i: int, base, params, stats, bstats,
+                             bin_boundaries):
+    """One downsample layer of either family into the variables trees."""
+    ds = blk.downsample
+    which = ds.ds_which
+    prefix = f"block.downsample_list.{i}."
+    name = f"{_DS_MODULE_NAME[which]}_{i}"
+    if which == "token":
+        p_, s_ = downsample_token_tree(sd, prefix)
+        _merge_into(params, base + (name,), p_)
+        if s_:
+            _merge_into(stats, base + (name,), s_)
+        if ds.bin.dynamic_boundaries_enable:
+            inner = (
+                boundaries_from_checkpoint(bin_boundaries[i])
+                if bin_boundaries is not None
+                else np.zeros((ds.bin.num_bins[i] - 1,), np.float32)
+            )
+            _merge_into(
+                bstats, base + (name,),
+                {"boundaries": inner,
+                 "initialized": np.asarray(bin_boundaries is not None)},
+            )
+        return
+    if which not in _DS_MODULE_NAME:
+        raise NotImplementedError(f"unknown ds_which: {which}")
+    res_cfg = ds.get("res")
+    pe_cfg = ds.get("pe") if which == "global_carve" else None
+    p_, s_ = downsample_apes_tree(
+        sd, prefix,
+        res=bool(res_cfg.enable[i]) if res_cfg is not None else False,
+        ff=bool(res_cfg.ff[i]) if res_cfg is not None else False,
+        pe=bool(pe_cfg.enable[i]) if pe_cfg is not None else False,
+        pe_mode=pe_cfg.mode[i] if pe_cfg is not None else "III",
+    )
+    _merge_into(params, base + (name,), p_)
+    if s_:
+        _merge_into(stats, base + (name,), s_)
+
+
 def boundaries_from_checkpoint(pair) -> np.ndarray:
     """Checkpoint ``bin_boundaries`` entry ``[upper, lower]`` (each
     (1,1,1,nb)) → the (nb-1,) inner boundaries (test_modelnet.py:168-171)."""
@@ -227,28 +327,9 @@ def import_cls_model(state_dict: Mapping[str, Any], cfg: Any,
         _merge_into(stats, base + (name,), s_)
 
     n_ds = len(blk.downsample.M)
-    if blk.downsample.ds_which != "token":
-        raise NotImplementedError(
-            "torch checkpoint import currently covers ds_which=token "
-            f"(the shipped SAMBLE path), got {blk.downsample.ds_which}"
-        )
     for i in range(n_ds):
-        p_, s_ = downsample_token_tree(sd, f"block.downsample_list.{i}.")
-        _merge_into(params, base + (f"DownSampleToken_{i}",), p_)
-        if s_:
-            _merge_into(stats, base + (f"DownSampleToken_{i}",), s_)
-        if blk.downsample.bin.dynamic_boundaries_enable:
-            inner = (
-                boundaries_from_checkpoint(bin_boundaries[i])
-                if bin_boundaries is not None
-                else np.zeros((blk.downsample.bin.num_bins[i] - 1,), np.float32)
-            )
-            _merge_into(
-                bstats,
-                base + (f"DownSampleToken_{i}",),
-                {"boundaries": inner,
-                 "initialized": np.asarray(bin_boundaries is not None)},
-            )
+        _import_downsample_layer(sd, blk, i, base, params, stats, bstats,
+                                 bin_boundaries)
 
     if blk.res_link.enable:
         for i in range(n_ds + 1):
@@ -310,28 +391,9 @@ def import_seg_model(state_dict: Mapping[str, Any], cfg: Any,
         _merge_into(params, base + (f"Neighbor2PointAttention_{i}",), p_)
         _merge_into(stats, base + (f"Neighbor2PointAttention_{i}",), s_)
 
-    if blk.downsample.ds_which != "token":
-        raise NotImplementedError(
-            "torch checkpoint import currently covers ds_which=token "
-            f"(the shipped SAMBLE path), got {blk.downsample.ds_which}"
-        )
     for i in range(len(blk.downsample.M)):
-        p_, s_ = downsample_token_tree(sd, f"block.downsample_list.{i}.")
-        _merge_into(params, base + (f"DownSampleToken_{i}",), p_)
-        if s_:
-            _merge_into(stats, base + (f"DownSampleToken_{i}",), s_)
-        if blk.downsample.bin.dynamic_boundaries_enable:
-            inner = (
-                boundaries_from_checkpoint(bin_boundaries[i])
-                if bin_boundaries is not None
-                else np.zeros((blk.downsample.bin.num_bins[i] - 1,), np.float32)
-            )
-            _merge_into(
-                bstats,
-                base + (f"DownSampleToken_{i}",),
-                {"boundaries": inner,
-                 "initialized": np.asarray(bin_boundaries is not None)},
-            )
+        _import_downsample_layer(sd, blk, i, base, params, stats, bstats,
+                                 bin_boundaries)
 
     us = blk.upsample
     if us.us_which == "interpolation":
@@ -349,11 +411,14 @@ def import_seg_model(state_dict: Mapping[str, Any], cfg: Any,
                 {"PointBatchNorm_0": _bn_stats(sd, f"{up}conv.1"),
                  "PointBatchNorm_1": _bn_stats(sd, f"{up}res_conv.1")},
             )
+    elif us.us_which in ("crossA", "selfA"):
+        uname = ("UpSampleCrossAttention" if us.us_which == "crossA"
+                 else "UpSampleSelfAttention")
+        for i in range(len(us.v_out)):
+            p_, _ = upsample_attention_tree(sd, f"block.upsample_list.{i}.")
+            _merge_into(params, base + (f"{uname}_{i}",), p_)
     else:
-        raise NotImplementedError(
-            f"seg import supports us_which=interpolation (the shipped path), "
-            f"got {us.us_which}"
-        )
+        raise NotImplementedError(f"unknown us_which: {us.us_which}")
 
     # head (models/seg_model.py:145-167): conv (→1024), conv1 (category
     # 16→64), conv2/conv3 (ConvBN), conv4 (plain 256→50)

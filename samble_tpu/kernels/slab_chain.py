@@ -708,5 +708,8 @@ def _knn_bwd(knn_k, alpha, interpret, axis_name, res, cts):
 
 slab_chain_knn.defvjp(_knn_fwd, _knn_bwd)
 
-slab_chain_knn = _spmd.data_parallel(slab_chain_knn, 3, n_replicated=3,
-                                     axis_arg_index=9)
+slab_chain_knn = _spmd.data_parallel(
+    slab_chain_knn, 3, n_replicated=3, axis_arg_index=9,
+    # (zmax, zmin, zsum, zsq) batch-sharded; (mu1, var1) pmean-replicated
+    out_specs_fn=lambda ax: (_spmd.P(ax),) * 4 + (_spmd.P(),) * 2,
+)

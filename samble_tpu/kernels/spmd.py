@@ -49,7 +49,8 @@ def active_mesh() -> Optional[Mesh]:
 
 
 def data_parallel(fn, n_batched: int, n_replicated: int = 0,
-                  axis_arg_index: int = None):
+                  axis_arg_index: int = None,
+                  out_specs_fn=None):
     """Wrap a kernel entry: the first ``n_batched`` positional args are
     batch-sharded over the ambient mesh; the next ``n_replicated`` are
     REAL shard_map inputs with replicated specs (use this for any
@@ -59,7 +60,15 @@ def data_parallel(fn, n_batched: int, n_replicated: int = 0,
     ``axis_arg_index`` is set, that positional arg (an ``axis_name`` slot
     the caller passes as None) is replaced with the mesh axis name inside
     the shard — kernels with cross-batch couplings (slab_chain_knn's BN
-    moment corrections) psum through it."""
+    moment corrections) psum through it.
+
+    ``out_specs_fn(axis_name)`` — when set, builds the shard_map out_specs
+    pytree (matching the kernel's output structure) so kernels whose
+    outputs are NOT all batch-sharded can mark replicated leaves with
+    ``P()`` (slab_chain_knn's pmean'd BN moments mu1/var1: under the
+    default all-``P(axis)`` specs they came back concatenated to
+    (ndev·C,) and broke every Pallas train step on a >1-device mesh).
+    Default: every output leaf batch-sharded."""
 
     @functools.wraps(fn)
     def wrapper(*args, **kwargs):
@@ -73,9 +82,24 @@ def data_parallel(fn, n_batched: int, n_replicated: int = 0,
             or b % mesh.size != 0
         ):
             return fn(*args, **kwargs)
-        if axis_arg_index is not None and len(args) > axis_arg_index:
-            args = (args[:axis_arg_index] + (_AXIS,)
-                    + args[axis_arg_index + 1:])
+        if axis_arg_index is not None:
+            # The axis slot must become a REAL positional arg inside the
+            # shard (custom_vjp nondiff_argnums are positional); accept the
+            # caller leaving it to its default or passing it as a kwarg —
+            # silently running without the axis would give per-shard
+            # (non-sync) BN moments with no error.
+            kwargs.pop("axis_name", None)
+            if len(args) > axis_arg_index:
+                args = (args[:axis_arg_index] + (_AXIS,)
+                        + args[axis_arg_index + 1:])
+            elif len(args) == axis_arg_index:
+                args = args + (_AXIS,)
+            else:
+                raise TypeError(
+                    f"{fn.__name__}: under a mesh every positional arg up "
+                    f"to the axis slot (index {axis_arg_index}) must be "
+                    f"passed explicitly; got only {len(args)}"
+                )
         mapped = args[:n_batched + n_replicated]
         rest = args[n_batched + n_replicated:]
 
@@ -86,7 +110,8 @@ def data_parallel(fn, n_batched: int, n_replicated: int = 0,
             inner,
             mesh=mesh,
             in_specs=(P(_AXIS),) * n_batched + (P(),) * n_replicated,
-            out_specs=P(_AXIS),
+            out_specs=(P(_AXIS) if out_specs_fn is None
+                       else out_specs_fn(_AXIS)),
             check_vma=False,
         )(*mapped)
 

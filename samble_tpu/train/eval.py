@@ -21,10 +21,12 @@ import numpy as np
 from samble_tpu.data import BatchLoader
 from samble_tpu.data.augmentation import make_vote_augment
 from samble_tpu.models import ClsModel, SegModel
-from samble_tpu.parallel import BarrierOnFirstCall, fetch, make_mesh, shard_batch
+from samble_tpu.parallel import (BarrierOnFirstCall, fetch, make_mesh,
+                                 replicate_state, shard_batch)
 from samble_tpu.train import metrics as metrics_mod
 from samble_tpu.train.checkpoint import CheckpointManager
-from samble_tpu.train.loop import _load_modelnet, _load_shapenet
+from samble_tpu.train.loop import (_load_modelnet, _load_shapenet,
+                                   _seed_from_config)
 from samble_tpu.train.schedules import make_optimizer
 from samble_tpu.train.state import create_train_state
 from samble_tpu.train.step import make_eval_step, make_vote_eval_step
@@ -123,7 +125,7 @@ def evaluate_modelnet(
     n_sel = int(cfg.train.dataloader.selected_points)
     loader = BatchLoader(
         test_set.pcd, test_set.label, batch_size=bs, selected_points=n_sel,
-        shuffle=False, drop_last=False, seed=0,
+        shuffle=False, drop_last=False, seed=0, per_item_seed=0,
     )
     mesh = make_mesh()
     model_train = ClsModel(cfg=cfg, num_classes=40, train=True)
@@ -133,6 +135,7 @@ def evaluate_modelnet(
     example = (np.zeros((bs, n_sel, in_ch), np.float32),)
     state = _restore(cfg, model_train, example, ckpt_dir, jax.random.key(0),
                      "cls")
+    state = replicate_state(mesh, state)
 
     vote_cfg = dl.get("vote")
     use_vote = vote_cfg is not None and bool(vote_cfg.enable)
@@ -161,7 +164,10 @@ def evaluate_modelnet(
     for i, batch in enumerate(loader):
         points, label, valid = batch
         points_d = shard_batch(mesh, points)
-        key = jax.random.fold_in(jax.random.key(1), i)
+        # same sampling-key convention as the train loop's validation pass
+        # (loop.py: fold_in(key(seed+2), batch_idx)) so restored-
+        # checkpoint eval reproduces in-train val bitwise
+        key = jax.random.fold_in(jax.random.key(_seed_from_config(cfg) + 2), i)
         out = step(state, points_d, None, key)
         preds_all.append(fetch(out["preds"])[valid])
         labels_all.append(label[valid])
@@ -204,6 +210,7 @@ def evaluate_shapenet(
     loader = BatchLoader(
         test_set.pcd, test_set.label, test_set.seg, batch_size=bs,
         selected_points=n_sel, shuffle=False, drop_last=False, seed=0,
+        per_item_seed=0,
     )
     mesh = make_mesh()
     model_train = SegModel(cfg=cfg, num_parts=50, train=True)
@@ -216,6 +223,7 @@ def evaluate_shapenet(
     )
     state = _restore(cfg, model_train, example, ckpt_dir, jax.random.key(0),
                      "seg")
+    state = replicate_state(mesh, state)
 
     parts_mask = metrics_mod.parts_matrix(cfg.datasets.mapping)
     shape_iou_fn = jax.jit(lambda p, l, c: metrics_mod.shape_iou(p, l, c, parts_mask))
@@ -248,7 +256,10 @@ def evaluate_shapenet(
     for i, batch in enumerate(loader):
         points, label, seg, valid = batch
         points_d, label_d = shard_batch(mesh, (points, label))
-        key = jax.random.fold_in(jax.random.key(1), i)
+        # same sampling-key convention as the train loop's validation pass
+        # (loop.py: fold_in(key(seed+2), batch_idx)) so restored-
+        # checkpoint eval reproduces in-train val bitwise
+        key = jax.random.fold_in(jax.random.key(_seed_from_config(cfg) + 2), i)
         out = step(state, points_d, label_d, key)
         preds = fetch(out["preds"])
         iou = fetch(shape_iou_fn(out["preds"], jnp.asarray(seg), jnp.asarray(label)))

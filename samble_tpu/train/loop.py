@@ -168,7 +168,7 @@ def train_modelnet(
     val_loader = BatchLoader(
         test_set.pcd, test_set.label, batch_size=bs,
         selected_points=loader_sel, shuffle=False,
-        drop_last=False, seed=seed + 1,
+        drop_last=False, seed=seed + 1, per_item_seed=0,
     )
 
     mesh = make_mesh()
@@ -329,7 +329,8 @@ def train_shapenet(
     )
     val_loader = BatchLoader(
         test_set.pcd, test_set.label, test_set.seg, batch_size=bs,
-        selected_points=loader_sel, shuffle=False, drop_last=False, seed=seed + 1,
+        selected_points=loader_sel, shuffle=False, drop_last=False,
+        seed=seed + 1, per_item_seed=0,
     )
 
     def _fps_batch(key, points, seg):

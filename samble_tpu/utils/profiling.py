@@ -25,6 +25,62 @@ def flops_estimate(fn: Callable, *args, **kwargs) -> Optional[float]:
         return None
 
 
+def bytes_estimate(fn: Callable, *args, **kwargs) -> Optional[float]:
+    """HBM bytes accessed by ``fn(*args)`` from XLA cost analysis (None if
+    unavailable).  Together with the measured step time this yields the
+    whole-step bandwidth utilization — the binding roofline for this
+    selection-bound model family (docs/kernels.md "Roofline memo"),
+    which MFU alone misrepresents."""
+    try:
+        lowered = jax.jit(fn).lower(*args, **kwargs)
+        cost = lowered.compile().cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        return float(cost.get("bytes accessed", 0.0))
+    except Exception:
+        return None
+
+
+def session_calibration(iters: int = 20) -> dict:
+    """Time two fixed reference kernels — a bf16 (4096,4096)² matmul (MXU
+    bound) and a 256 MB f32 triad (HBM bound) — so every bench record
+    carries the chip's *delivered* speed at measurement time.  This box's
+    throughput drifts ±25% on an hour scale (bench.py docstring); these
+    two numbers let cross-session comparisons be deflated by the actual
+    hardware state instead of guessed at."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    n = 4096
+    a = jax.device_put(
+        np.random.default_rng(0).normal(size=(n, n)).astype(np.float32)
+    ).astype(jnp.bfloat16)
+
+    def mm(x):
+        return jax.lax.dot_general(
+            x, x, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.bfloat16)
+
+    t_mm = timeit_chained(mm, a, iters=iters)
+    mm_tflops = 2 * n * n * n / t_mm / 1e12
+
+    m = 64 * 1024 * 1024  # 64M f32 = 256 MB
+    v = jax.device_put(np.ones(m, np.float32))
+
+    def triad(x):
+        return x * 1.000001 + 0.5  # read + write: 2 × 256 MB per call
+
+    t_tr = timeit_chained(triad, v, iters=iters)
+    triad_gbps = 2 * m * 4 / t_tr / 1e9
+    return {
+        "matmul_ms": round(t_mm * 1e3, 3),
+        "matmul_tflops": round(mm_tflops, 1),
+        "triad_ms": round(t_tr * 1e3, 3),
+        "triad_gbps": round(triad_gbps, 1),
+    }
+
+
 @contextlib.contextmanager
 def step_timer(sync: Any = None):
     """Wall-clock a block, blocking on ``sync`` (an array) at exit."""

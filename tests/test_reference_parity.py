@@ -559,20 +559,6 @@ def test_cls_import_covers_full_tree():
 # models/downsample.py:818-1405, models/upsample.py:8-133)
 # ---------------------------------------------------------------------------
 
-def _qkv_tree(sd, with_skip=False):
-    """q/k/v(-skip) conv stacks → our Conv1x1_0..N numbering."""
-    p = {
-        "Conv1x1_0": {"Dense_0": {"kernel": interop.conv_kernel(sd["q_conv.weight"])}},
-        "Conv1x1_1": {"Dense_0": {"kernel": interop.conv_kernel(sd["k_conv.weight"])}},
-        "Conv1x1_2": {"Dense_0": {"kernel": interop.conv_kernel(sd["v_conv.weight"])}},
-    }
-    if with_skip:
-        p["Conv1x1_3"] = {
-            "Dense_0": {"kernel": interop.conv_kernel(sd["skip_link.weight"])}
-        }
-    return p
-
-
 def test_p2p_attention_matches_reference():
     from samble_tpu.nn.attention import Point2PointAttention
 
@@ -642,7 +628,7 @@ def test_downsample_local_matches_reference(idx_mode):
         m=24, num_heads=1, asm="dot", idx_mode=idx_mode,
         q_out=32, k_out=32, v_out=32, k=32, train=False,
     )
-    p = _qkv_tree(tmod.state_dict())
+    p, _ = interop.downsample_apes_tree(tmod.state_dict(), "")
     j_xds, j_idx, (j_xdrop, j_idxdrop), aux = jmod.apply(
         {"params": p}, jnp.asarray(x)
     )
@@ -674,7 +660,7 @@ def test_downsample_global_matches_reference(idx_mode):
         m=24, num_heads=1, asm="dot", idx_mode=idx_mode,
         q_out=32, k_out=32, v_out=32, k=32, train=False,
     )
-    p = _qkv_tree(tmod.state_dict())
+    p, _ = interop.downsample_apes_tree(tmod.state_dict(), "")
     j_xds, j_idx, (j_xdrop, j_idxdrop), aux = jmod.apply(
         {"params": p}, jnp.asarray(x)
     )
@@ -717,7 +703,7 @@ def test_upsample_crossa_matches_reference():
         )
     jmod = UpSampleCrossAttention(num_heads=4, q_out=32, k_out=32, v_out=32,
                                   train=False)
-    p = _qkv_tree(tmod.state_dict(), with_skip=True)
+    p, _ = interop.upsample_attention_tree(tmod.state_dict(), "")
     j_out = jmod.apply({"params": p}, jnp.asarray(up), jnp.asarray(sel))
     _assert_close(np.moveaxis(np.asarray(j_out), -1, 1), t_out.numpy(),
                   rtol=5e-4, atol=5e-5, what="crossA out")
@@ -747,7 +733,7 @@ def test_upsample_selfa_matches_reference():
         )
     jmod = UpSampleSelfAttention(num_heads=4, q_out=32, k_out=32, v_out=32,
                                  train=False)
-    p = _qkv_tree(tmod.state_dict(), with_skip=True)
+    p, _ = interop.upsample_attention_tree(tmod.state_dict(), "")
     j_out = jmod.apply(
         {"params": p}, jnp.asarray(up), jnp.asarray(sel),
         idx_select=jnp.asarray(idx_sel.astype(np.int32)),
@@ -784,3 +770,135 @@ def test_edgeconv_normal_channel_matches_reference():
     j_out = jmod.apply({"params": p, "batch_stats": s}, jnp.asarray(x))
     _assert_close(np.moveaxis(np.asarray(j_out), -1, 1), t_out.numpy(),
                   what="EdgeConv normal_channel")
+
+# ---------------------------------------------------------------------------
+# Checkpoint-import coverage for the APES variants (round-5 verdict item 5):
+# full-model import through samble_tpu.interop for ds_which=global/local,
+# module-level import for carve (the reference's carve forward crashes as
+# shipped — models/downsample.py:458 calls a bin_conv whose layers are never
+# constructed — so the oracle needs that call patched out), and full seg
+# models with the crossA / selfA upsamplers.
+# ---------------------------------------------------------------------------
+
+def _variant_cls_config(ds_which):
+    return load_config(
+        "configs/default.yaml", "configs/datasets/modelnet.yaml",
+        "configs/cls.yaml",
+        [
+            "train.dataloader.selected_points=64",
+            f"feature_learning_block.downsample.ds_which={ds_which}",
+            "feature_learning_block.downsample.M=[32,16]",
+            "feature_learning_block.downsample.K=8",
+            "feature_learning_block.downsample.idx_mode=[sparse_col_sqr,sparse_col_sqr]",
+            "feature_learning_block.embedding.K=[8,8]",
+            "feature_learning_block.attention.K=[8,8,8]",
+            "feature_learning_block.attention.asm=[dot,dot,dot]",
+        ],
+    )
+
+
+@pytest.mark.parametrize("ds_which", ["global", "local"])
+def test_cls_model_import_apes_variant(ds_which):
+    """Full ModelNetModel with an APES downsampler → import_cls_model →
+    identical logits (reference models/downsample.py:818,1232)."""
+    rng = _seed_all(30)
+    tmod = ref_cls_model.ModelNetModel(_variant_cls_config(ds_which))
+    cfg = _variant_cls_config(ds_which)
+    _randomize_bn_stats(tmod, rng)
+    tmod.eval()
+    x = rng.standard_normal((2, 64, 3)).astype(np.float32)
+    with torch.no_grad():
+        t_logits = tmod(torch.from_numpy(x.transpose(0, 2, 1)))
+    variables = interop.import_cls_model(tmod.state_dict(), cfg)
+    jmod = ClsModel(cfg=cfg, num_classes=40, train=False)
+    j_logits, _ = jmod.apply(variables, jnp.asarray(x))
+    _assert_close(np.asarray(j_logits), t_logits.numpy(),
+                  rtol=2e-3, atol=2e-4, what=f"ClsModel[{ds_which}] logits")
+
+
+@pytest.mark.parametrize("pe_mode", [None, "III", "IV"])
+def test_downsample_carve_import_matches_reference(pe_mode):
+    """DownSampleCarve import (incl. the optional positional-encoding convs,
+    models/downsample.py:442-453).  The oracle's broken ``bin_conv`` call
+    (:458, layers never constructed) is patched to the identity the shipped
+    code path implies."""
+    from samble_tpu.nn.downsample import DownSampleCarve
+
+    rng = _seed_all(31)
+    cfg = _apes_ds_cfg()
+    if pe_mode is not None:
+        cfg = _apes_ds_cfg()
+        cfg["pe"] = {"enable": [True], "mode": [pe_mode]}
+    tmod = ref_downsample.DownSampleCarve(cfg, 0)
+    tmod.bin_conv = lambda x: (x, None)  # dead-code patch (see docstring)
+    tmod.eval()
+    x = rng.standard_normal((2, 48, 32)).astype(np.float32)
+    xyz = rng.standard_normal((2, 48, 3)).astype(np.float32)
+    with torch.no_grad():
+        (t_xds, t_idx), _ = tmod(
+            torch.from_numpy(x.transpose(0, 2, 1)),
+            torch.from_numpy(xyz.transpose(0, 2, 1)),
+        )
+    p, s = interop.downsample_apes_tree(
+        tmod.state_dict(), "", pe=pe_mode is not None,
+        pe_mode=pe_mode or "III",
+    )
+    jmod = DownSampleCarve(
+        m=24, k=32, num_heads=1, asm="dot", idx_mode="sparse_col_sqr",
+        q_out=32, k_out=32, v_out=32, pe=pe_mode is not None,
+        pe_mode=pe_mode or "III", train=False,
+    )
+    j_xds, j_idx, _, aux = jmod.apply(
+        {"params": p}, jnp.asarray(x), jnp.asarray(xyz)
+    )
+    np.testing.assert_array_equal(np.asarray(j_idx), t_idx[:, 0].numpy(),
+                                  err_msg="carve selected idx")
+    _assert_close(np.moveaxis(np.asarray(j_xds), -1, 1), t_xds.numpy(),
+                  rtol=5e-4, atol=5e-5, what="carve x_ds")
+
+
+def _variant_seg_config(us_which, ds_which="global"):
+    return load_config(
+        "configs/default.yaml", "configs/datasets/shapenet.yaml",
+        "configs/seg.yaml",
+        [
+            "train.dataloader.selected_points=64",
+            f"feature_learning_block.downsample.ds_which={ds_which}",
+            f"feature_learning_block.upsample.us_which={us_which}",
+            "feature_learning_block.downsample.M=[32,16]",
+            "feature_learning_block.downsample.K=8",
+            "feature_learning_block.downsample.idx_mode=[sparse_col_sqr,sparse_col_sqr]",
+            "feature_learning_block.embedding.K=[8,8]",
+            "feature_learning_block.attention.K=[8,8,8,8,8]",
+            "feature_learning_block.attention.asm=[dot,dot,dot,dot,dot]",
+        ],
+    )
+
+
+@pytest.mark.parametrize("us_which", ["crossA", "selfA"])
+def test_seg_model_import_attention_upsampler(us_which):
+    """Full ShapeNetModel with the crossA / selfA upsampler (paired with the
+    APES global downsampler, which supplies the dropped complement selfA
+    scatters back — models/upsample.py:8-133) → import_seg_model →
+    identical logits."""
+    import models.seg_model as ref_seg_model
+    from samble_tpu.models import SegModel
+
+    rng = _seed_all(32)
+    tmod = ref_seg_model.ShapeNetModel(_variant_seg_config(us_which))
+    cfg = _variant_seg_config(us_which)
+    _randomize_bn_stats(tmod, rng)
+    tmod.eval()
+    x = rng.standard_normal((2, 64, 3)).astype(np.float32)
+    cat = np.zeros((2, 16), np.float32)
+    cat[0, 3] = 1.0
+    cat[1, 11] = 1.0
+    with torch.no_grad():
+        t_out = tmod(torch.from_numpy(x.transpose(0, 2, 1)),
+                     torch.from_numpy(cat[..., None]))
+    variables = interop.import_seg_model(tmod.state_dict(), cfg)
+    jmod = SegModel(cfg=cfg, train=False)
+    j_out, _ = jmod.apply(variables, jnp.asarray(x), jnp.asarray(cat))
+    _assert_close(np.moveaxis(np.asarray(j_out), -1, 1), t_out.numpy(),
+                  rtol=2e-3, atol=2e-4,
+                  what=f"SegModel[{us_which}] logits")

@@ -295,16 +295,69 @@ def test_knn_sharded_matches_unsharded():
                 + 0.1 * jnp.sum(outs[2]) + 0.01 * jnp.sum(outs[3]))
 
     grad_f = jax.grad(loss, argnums=(0, 1, 2, 3, 4))
+    fwd_f = lambda: slab_chain_knn(w, u, xnn, gamma1, beta1, w2, K, ALPHA,
+                                   True, None)
     g_ref = grad_f(w, u, gamma1, beta1, w2)
+    o_ref = fwd_f()
     mesh = shd.Mesh(np.array(jax.devices()[:2]), ("data",))
     spmd.install_mesh(mesh)
     try:
         g_sh = jax.jit(grad_f)(w, u, gamma1, beta1, w2)
+        o_sh = fwd_f()
     finally:
         spmd.install_mesh(None)
+    # EVERY output — the mesh wrapper once concatenated the replicated
+    # BN moments mu1/var1 into (ndev·C1,) because out_specs applied
+    # P('data') to all leaves; pin shapes AND values (SyncBN: global
+    # moments must equal the unsharded run's).
+    for a, b, name in zip(o_sh, o_ref,
+                          ("zmax", "zmin", "zsum", "zsq", "mu1", "var1")):
+        assert a.shape == b.shape, (name, a.shape, b.shape)
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4,
+            atol=2e-4 * max(1.0, float(jnp.abs(b).max())), err_msg=name,
+        )
+    assert o_sh[4].shape == (C1,) and o_sh[5].shape == (C1,)
     for a, b, name in zip(g_ref, g_sh,
                           ("dw", "du", "dgamma", "dbeta", "dw2")):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4,
             err_msg=name,
         )
+
+
+def test_edgeconv_module_sharded_train(monkeypatch):
+    """EdgeConv(train=True) end-to-end under a 2-device mesh with the
+    Pallas path forced — the exact composition the advisor reproduced the
+    out_specs crash with: fused_slab_chain_knn_block feeds the kernel's
+    replicated mu1/var1 into the running-stat update."""
+    import jax.sharding as shd
+
+    from samble_tpu import kernels
+    from samble_tpu.kernels import spmd
+    from samble_tpu.nn.embedding import EdgeConv
+
+    monkeypatch.setenv("SAMBLE_FORCE_PALLAS", "1")
+    kernels.use_pallas.cache_clear()
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(4, 256, 3)).astype(np.float32))
+    ec = EdgeConv(k=8, group_type="center_diff", conv1_out=16,
+                  conv2_out=16, train=True)
+    v = ec.init(jax.random.key(0), x)
+    out_ref, vars_ref = ec.apply(v, x, mutable=["batch_stats"])
+    mesh = shd.Mesh(np.array(jax.devices()[:2]), ("data",))
+    spmd.install_mesh(mesh)
+    try:
+        out_sh, vars_sh = ec.apply(v, x, mutable=["batch_stats"])
+    finally:
+        spmd.install_mesh(None)
+        monkeypatch.delenv("SAMBLE_FORCE_PALLAS", raising=False)
+        kernels.use_pallas.cache_clear()
+    np.testing.assert_allclose(np.asarray(out_sh), np.asarray(out_ref),
+                               rtol=2e-4, atol=2e-4)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
+        ),
+        vars_sh["batch_stats"], vars_ref["batch_stats"],
+    )

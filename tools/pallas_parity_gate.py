@@ -118,13 +118,18 @@ def main():
           f"min {overlap.min():.4f}  (diagnostic)")
     print(f"layer0 score max rel err:        {rel.max():.2e}  (diagnostic)")
 
-    # cls accuracy is a per-cloud decision → exact match required; seg mIoU
-    # integrates 2048 per-point decisions per cloud, so near-tie argmax
-    # flips move it at the 1e-3 level without any decision-level divergence
+    # The metric shift must be EXPLAINED by the counted flips: accuracy is
+    # linear in per-cloud flips (|Δacc| ≤ flip_rate exactly), and seg mIoU
+    # moves by at most the per-point flip rate plus the usual 1e-3-level
+    # near-tie noise.  A fixed "exact" bound for cls was self-contradictory
+    # with the flip tolerance on small eval sets (one allowed flip on the
+    # 64-cloud synthetic test set moves accuracy by 1.56%).
     delta = args.max_metric_delta
     if delta is None:
         delta = 2e-3 if task == "seg" else 1e-9
-    ok = (abs(m_on - m_off) <= delta) and (pred_flip <= args.max_flip_rate)
+    ok = (abs(m_on - m_off) <= max(delta, pred_flip + 1e-9)) and (
+        pred_flip <= args.max_flip_rate
+    )
     print("PARITY GATE:", "PASS" if ok else "FAIL")
     sys.exit(0 if ok else 1)
 
