@@ -60,6 +60,7 @@ from samble_tpu.kernels.edgeconv import (  # noqa: E402
 from samble_tpu.kernels.edgeconv_train import edgeconv_train  # noqa: E402
 from samble_tpu.kernels.knn import knn_pallas  # noqa: E402
 from samble_tpu.kernels.n2p import n2p_attention, n2p_attention_fused  # noqa: E402
+from samble_tpu.kernels.p2p import p2p_attention  # noqa: E402
 from samble_tpu.kernels.score import (  # noqa: E402
     sparse_attention_score_fused,
     sparse_attention_score_pallas,
@@ -79,6 +80,7 @@ __all__ = [
     "knn_pallas",
     "n2p_attention",
     "n2p_attention_fused",
+    "p2p_attention",
     "sparse_attention_score_fused",
     "sparse_attention_score_pallas",
     "slab_chain",

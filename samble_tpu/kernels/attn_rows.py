@@ -25,8 +25,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+_ENERGY_ASM = {"dot": (1.0, 0.0), "l2": (2.0, -1.0), "l2+": (-2.0, 1.0)}
+
+
 def _attn_rows_kernel(q_ref, k_ref, v_ref, out_ref, *, scale: float,
-                      nt_valid: int):
+                      nt_valid: int, energy_asm: str = "dot"):
     """One (batch, row-tile) cell.
 
     q_ref: (1, TILE, D) selected query rows
@@ -39,11 +42,18 @@ def _attn_rows_kernel(q_ref, k_ref, v_ref, out_ref, *, scale: float,
     v = v_ref[0]
     tile, ntp = q.shape[0], k.shape[0]
 
+    coef, sgn = _ENERGY_ASM[energy_asm]
     energy = jax.lax.dot_general(
         q, k,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ) * scale  # (TILE, NTP)
+    )  # (TILE, NTP)
+    if sgn != 0.0:  # l2 energies: column bias from the resident keys
+        # (softmax drops the per-row ||q||^2 term; padded key rows are
+        # zero so their bias is 0 and the -inf mask below handles them)
+        kb = sgn * jnp.sum(k.astype(jnp.float32) ** 2, axis=1)
+        energy = coef * energy + kb[None, :]
+    energy = energy * scale
     if nt_valid < ntp:
         col = jax.lax.broadcasted_iota(jnp.int32, (tile, ntp), 1)
         energy = jnp.where(col < nt_valid, energy, -jnp.inf)
@@ -62,8 +72,10 @@ def _round_up(x: int, mult: int) -> int:
     return ((x + mult - 1) // mult) * mult
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
-def attn_rows_pallas(q_sel, k, v, scale: float, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("scale", "interpret",
+                                              "energy_asm"))
+def attn_rows_pallas(q_sel, k, v, scale: float, interpret: bool = False,
+                     energy_asm: str = "dot"):
     """softmax(q_sel · kᵀ · scale, axis=-1) @ v without the HBM row block.
 
     :param q_sel: (B, M, D) selected query rows
@@ -80,7 +92,8 @@ def attn_rows_pallas(q_sel, k, v, scale: float, interpret: bool = False):
         v = jnp.pad(v, ((0, 0), (0, nt_pad - nt), (0, 0)))
 
     grid = (bsz, m // tile)
-    kernel = functools.partial(_attn_rows_kernel, scale=scale, nt_valid=nt)
+    kernel = functools.partial(_attn_rows_kernel, scale=scale, nt_valid=nt,
+                               energy_asm=energy_asm)
     out = pl.pallas_call(
         kernel,
         grid=grid,
@@ -104,7 +117,8 @@ _attn_rows_fwd_impl = attn_rows_pallas  # unwrapped fwd (used by the VJP)
 
 
 def _attn_rows_bwd_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref,
-                          *, scale: float, nt_valid: int):
+                          *, scale: float, nt_valid: int,
+                          energy_asm: str = "dot"):
     """Flash-style backward cell: softmax recomputed per row tile, nothing
     O(M·NT) in HBM.  dk/dv accumulate across the sequential row-tile axis.
 
@@ -117,10 +131,15 @@ def _attn_rows_bwd_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref,
     g = g_ref[0].astype(jnp.float32)
     tile, ntp = q.shape[0], k.shape[0]
 
+    coef, sgn = _ENERGY_ASM[energy_asm]
     energy = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ) * scale
+    )
+    if sgn != 0.0:
+        kb = sgn * jnp.sum(k.astype(jnp.float32) ** 2, axis=1)
+        energy = coef * energy + kb[None, :]
+    energy = energy * scale
     if nt_valid < ntp:
         col = jax.lax.broadcasted_iota(jnp.int32, (tile, ntp), 1)
         energy = jnp.where(col < nt_valid, energy, -jnp.inf)
@@ -138,7 +157,8 @@ def _attn_rows_bwd_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref,
     # softmax VJP uses the f32 softmax output; the bf16 quantization cast
     # has an identity gradient (dv below is where the quantized a appears)
     t = jnp.sum(a * da, axis=1, keepdims=True)
-    de = (a * (da - t) * scale).astype(q.dtype)  # (TILE, NTP)
+    dz = a * (da - t)  # gradient wrt the scaled logits / scale
+    de = (dz * (scale * coef)).astype(q.dtype)  # (TILE, NTP)
 
     dq = jax.lax.dot_general(
         de, k, (((1,), (0,)), ((), ())),
@@ -151,19 +171,25 @@ def _attn_rows_bwd_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref,
         dk_ref[0] = jnp.zeros_like(dk_ref[0])
         dv_ref[0] = jnp.zeros_like(dv_ref[0])
 
-    dk_ref[0] += jax.lax.dot_general(
+    dk_acc = jax.lax.dot_general(
         de, q, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ).astype(dk_ref.dtype)
+    )
+    if sgn != 0.0:  # column-bias path: d(s*||k||^2)/dk = 2s*k per column
+        col = jnp.sum(dz, axis=0) * (2.0 * sgn * scale)  # (NTP,)
+        dk_acc = dk_acc + col[:, None] * k.astype(jnp.float32)
+    dk_ref[0] += dk_acc.astype(dk_ref.dtype)
     dv_ref[0] += jax.lax.dot_general(
         a_q.astype(g_ref.dtype), g_ref[0], (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).astype(dv_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
+@functools.partial(jax.jit, static_argnames=("scale", "interpret",
+                                              "energy_asm"))
 def _attn_rows_pallas_bwd(q_sel, k, v, g, scale: float,
-                          interpret: bool = False):
+                          interpret: bool = False,
+                          energy_asm: str = "dot"):
     bsz, m, d = q_sel.shape
     nt = k.shape[1]
     c = v.shape[-1]
@@ -174,7 +200,8 @@ def _attn_rows_pallas_bwd(q_sel, k, v, g, scale: float,
         v = jnp.pad(v, ((0, 0), (0, nt_pad - nt), (0, 0)))
 
     grid = (bsz, m // tile)
-    kernel = functools.partial(_attn_rows_bwd_kernel, scale=scale, nt_valid=nt)
+    kernel = functools.partial(_attn_rows_bwd_kernel, scale=scale,
+                               nt_valid=nt, energy_asm=energy_asm)
     dq, dk, dv = pl.pallas_call(
         kernel,
         grid=grid,
@@ -206,8 +233,9 @@ def _attn_rows_pallas_bwd(q_sel, k, v, g, scale: float,
     return dq, dk[:, :nt], dv[:, :nt]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def attn_rows(q_sel, k, v, scale: float, interpret: bool = False):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def attn_rows(q_sel, k, v, scale: float, interpret: bool = False,
+              energy_asm: str = "dot"):
     """Differentiable fused row attention (the TRAIN path's x_ds).
 
     Same math as :func:`attn_rows_pallas`, plus a flash-style custom VJP:
@@ -217,16 +245,18 @@ def attn_rows(q_sel, k, v, scale: float, interpret: bool = False):
     Replaces the XLA recompute in nn/downsample.py that materialized the
     f32 map and saved it for the backward pass.
     """
-    return _attn_rows_fwd_impl(q_sel, k, v, scale, interpret)
+    return _attn_rows_fwd_impl(q_sel, k, v, scale, interpret, energy_asm)
 
 
-def _attn_rows_vjp_fwd(q_sel, k, v, scale, interpret):
-    return _attn_rows_fwd_impl(q_sel, k, v, scale, interpret), (q_sel, k, v)
+def _attn_rows_vjp_fwd(q_sel, k, v, scale, interpret, energy_asm):
+    return (_attn_rows_fwd_impl(q_sel, k, v, scale, interpret, energy_asm),
+            (q_sel, k, v))
 
 
-def _attn_rows_vjp_bwd(scale, interpret, res, g):
+def _attn_rows_vjp_bwd(scale, interpret, energy_asm, res, g):
     q_sel, k, v = res
-    dq, dk, dv = _attn_rows_pallas_bwd(q_sel, k, v, g, scale, interpret)
+    dq, dk, dv = _attn_rows_pallas_bwd(q_sel, k, v, g, scale, interpret,
+                                       energy_asm)
     return dq.astype(q_sel.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
 
 

@@ -15,6 +15,13 @@ across the sequential row-tile grid.  Nothing O(N²) ever leaves VMEM.
 Covers idx modes col_sum / sparse_col_sum / sparse_col_avg /
 sparse_col_sqr (the shipped configs use sparse_col_sqr,
 configs/cls.yaml:156-158).  Row-statistic modes fall back to the XLA path.
+
+Energy variants (``energy_asm``): 'dot' (q·k), 'l2' (−‖q−k‖²) and 'l2+'
+(+‖q−k‖²).  Softmax rows are invariant to per-row constants, so the l2
+energies reduce to a coefficient on the q·kᵀ matmul plus a per-COLUMN
+bias s·‖k_j‖² computed in-kernel from the resident key block — the dense
+(B, N, N+nb) l2 map of the reference (utils/ops.py:115-122 feeding
+models/downsample.py:153-192) never exists.
 Forward-only: scores are consumed under stop_gradient (see
 samble_tpu/nn/downsample.py).
 """
@@ -31,9 +38,13 @@ from jax.experimental.pallas import tpu as pltpu
 from samble_tpu.kernels import keys as keys_mod
 
 
+_ENERGY_ASM = {"dot": (1.0, 0.0), "l2": (2.0, -1.0), "l2+": (-2.0, 1.0)}
+
+
 def _score_kernel(
     q_ref, k_ref, idx_ref, colsum_m_ref, colsum_f_ref, colcnt_ref,
     *, scale: float, n_valid: int, rows_valid: int, knn_k: int,
+    energy_asm: str = "dot",
 ):
     """One (batch, row-tile) grid cell; row tiles accumulate sequentially.
 
@@ -50,11 +61,15 @@ def _score_kernel(
     k = k_ref[0]  # (NT, D)
     tile, nt = q.shape[0], k.shape[0]
 
+    coef, sgn = _ENERGY_ASM[energy_asm]
     energy = jax.lax.dot_general(
         q, k,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # (TILE, NT)
+    if sgn != 0.0:  # l2 energies: per-column bias from the resident keys
+        kb = sgn * jnp.sum(k.astype(jnp.float32) ** 2, axis=1)  # (NT,)
+        energy = coef * energy + kb[None, :]
     energy = energy * scale
     col = jax.lax.broadcasted_iota(jnp.int32, (tile, nt), 1)
     # padded key rows (beyond the real N + nb) must not join the softmax
@@ -94,13 +109,15 @@ def _round_up(x: int, mult: int) -> int:
     return ((x + mult - 1) // mult) * mult
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
+@functools.partial(jax.jit, static_argnames=("scale", "interpret",
+                                              "energy_asm"))
 def sparse_attention_score_pallas(
     q: jax.Array,
     k: jax.Array,
     nb_idx: jax.Array,
     scale: float,
     interpret: bool = False,
+    energy_asm: str = "dot",
 ):
     """Masked/unmasked column sums of softmax(q·kᵀ·scale) without HBM maps.
 
@@ -134,7 +151,8 @@ def sparse_attention_score_pallas(
 
     grid = (bsz, n_pad // tile)
     kernel = functools.partial(
-        _score_kernel, scale=scale, n_valid=nt, rows_valid=n, knn_k=knn_k
+        _score_kernel, scale=scale, n_valid=nt, rows_valid=n, knn_k=knn_k,
+        energy_asm=energy_asm,
     )
     colsum_m, colsum_f, colcnt = pl.pallas_call(
         kernel,
@@ -173,7 +191,7 @@ def _score_fused_kernel(
     xa_ref, xb_ref, q_ref, k_ref, colsum_m_ref, colsum_f_ref, colcnt_ref,
     *, scale: float, n_valid: int, rows_valid: int, knn_k: int,
     idx_bits: int, nk_pad: int, fast_sel: bool, bisect_rounds: int = 16,
-    energy_bf16: bool = False,
+    energy_bf16: bool = False, energy_asm: str = "dot",
 ):
     """kNN-fused variant of _score_kernel: the adjacency row is derived from
     recomputed packed distance keys (kernels/keys.py) and a per-row K-th-key
@@ -192,11 +210,15 @@ def _score_fused_kernel(
     if energy_bf16:
         q = q.astype(jnp.bfloat16)
         k = k.astype(jnp.bfloat16)
+    coef, sgn = _ENERGY_ASM[energy_asm]
     energy = jax.lax.dot_general(
         q, k,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # (TILE, NT)
+    if sgn != 0.0:  # l2 energies: per-column bias from the resident keys
+        kb = sgn * jnp.sum(k.astype(jnp.float32) ** 2, axis=1)  # (NT,)
+        energy = coef * energy + kb[None, :]
     energy = energy * scale
     col = jax.lax.broadcasted_iota(jnp.int32, (tile, nt), 1)
     energy = jnp.where(col < n_valid, energy, -jnp.inf)
@@ -243,7 +265,8 @@ def _score_fused_kernel(
 
 @functools.partial(jax.jit, static_argnames=("knn_k", "scale", "interpret",
                                               "fast_sel", "bisect_rounds",
-                                              "row_tile", "energy_bf16"))
+                                              "row_tile", "energy_bf16",
+                                              "energy_asm"))
 def sparse_attention_score_fused(
     q: jax.Array,
     k: jax.Array,
@@ -255,6 +278,7 @@ def sparse_attention_score_fused(
     bisect_rounds: int = 16,
     row_tile: int = 256,
     energy_bf16: bool = False,
+    energy_asm: str = "dot",
 ):
     """kNN-fused masked/unmasked column sums — no separate kNN kernel.
 
@@ -301,6 +325,7 @@ def sparse_attention_score_fused(
         _score_fused_kernel, scale=scale, n_valid=nt, rows_valid=n,
         knn_k=knn_k, idx_bits=idx_bits, nk_pad=nk_pad, fast_sel=fast_sel,
         bisect_rounds=bisect_rounds, energy_bf16=energy_bf16,
+        energy_asm=energy_asm,
     )
     colsum_m, colsum_f, colcnt = pl.pallas_call(
         kernel,

@@ -183,16 +183,40 @@ class Point2PointAttention(nn.Module):
     v_out: int
     ff_hidden: int
     ff_out: int
+    impl: str = "auto"  # 'auto' | 'pallas' | 'dense'
     train: bool = True
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         # x: (B, N, C)
+        n = x.shape[1]
         x = x.astype(self.dtype)
-        q = split_heads(Conv1x1(self.q_out, dtype=self.dtype)(x), self.num_heads)
-        kk = split_heads(Conv1x1(self.k_out, dtype=self.dtype)(x), self.num_heads)
-        v = split_heads(Conv1x1(self.v_out, dtype=self.dtype)(x), self.num_heads)
+        q_f = Conv1x1(self.q_out, dtype=self.dtype)(x)
+        k_f = Conv1x1(self.k_out, dtype=self.dtype)(x)
+        v_f = Conv1x1(self.v_out, dtype=self.dtype)(x)
+        scale = 1.0 / math.sqrt(self.q_out // self.num_heads)
+
+        from samble_tpu import kernels
+
+        use_tiled = self.impl == "pallas" or (
+            self.impl == "auto" and kernels.use_pallas() and n >= 256
+        )
+        if use_tiled:
+            # row-streamed kernel: the (B, H, N, N) map never exists in
+            # HBM, which is what makes the p2p / l2 variants memory-safe
+            # at the 4096-pt config (kernels/p2p.py; custom VJP inside)
+            from samble_tpu.kernels.p2p import p2p_attention
+
+            out = p2p_attention(
+                q_f, k_f, v_f, self.num_heads, float(scale), self.asm,
+                kernels.interpret_default(),
+            ).astype(self.dtype)
+            return self._tail(x, out)
+
+        q = split_heads(q_f, self.num_heads)
+        kk = split_heads(k_f, self.num_heads)
+        v = split_heads(v_f, self.num_heads)
 
         qh = jnp.swapaxes(q, 1, 2)  # (B, H, N, D)
         kh = jnp.swapaxes(kk, 1, 2)
@@ -204,11 +228,13 @@ class Point2PointAttention(nn.Module):
             energy = ops.l2_global(qh, kh)
         else:
             raise ValueError(f"asm must be dot, l2 or l2+, got {self.asm}")
-        scale = 1.0 / math.sqrt(q.shape[-1])
         attn = jax.nn.softmax(energy * scale, axis=-1)  # (B, H, N, N)
         out = jnp.einsum("bhnm,bhmd->bnhd", attn, jnp.swapaxes(v, 1, 2))
         out = merge_heads(out)
+        return self._tail(x, out)
 
+    def _tail(self, x: jax.Array, out: jax.Array) -> jax.Array:
+        """Residual + BN + conv-FFN tail (models/attention.py:185-192)."""
         x = PointBatchNorm(
             use_running_average=not self.train, dtype=self.dtype
         )(x + out)

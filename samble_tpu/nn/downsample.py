@@ -137,7 +137,7 @@ class DownSampleToken(nn.Module):
 
         fused = (
             kernels.use_pallas()
-            and self.asm == "dot"
+            and self.asm in ("dot", "l2")
             and self.idx_mode in FUSED_IDX_MODES
             and n >= 256
         )
@@ -150,21 +150,36 @@ class DownSampleToken(nn.Module):
             raise NotImplementedError(f"asm: {self.asm}")
 
         if fused:
-            # kNN adjacency computed inside the score kernel (kernels/score.py)
+            # kNN adjacency computed inside the score kernel (kernels/score.py);
+            # for asm=l2 the kernel folds the -||q-k||^2 energy into a
+            # coefficient + per-column bias (row terms cancel in softmax)
+            q_rows = q_proj if self.asm == "dot" else q_proj[:, :n]
             cm, cf, cc = kernels.sparse_attention_score_fused(
-                jax.lax.stop_gradient(q_proj),
+                jax.lax.stop_gradient(q_rows),
                 jax.lax.stop_gradient(k_proj),
                 ops.neighbors.knn_normalized(x_f32),
                 self.k, scale, interpret=kernels.interpret_default(),
+                energy_asm=self.asm,
             )
             score = score_from_colsums(cm, cf, cc, self.idx_mode)[:, None]
             # bin-token logits: differentiable thin slice of the energy
-            bins_pre = (
-                jnp.einsum("bnc,btc->bnt", q_proj, k_proj[:, n:]).astype(
+            # (the l2 form keeps its row term — these are raw logits, not
+            # softmax rows, so nothing cancels)
+            kt = k_proj[:, n:]
+            if self.asm == "dot":
+                bins_pre = (
+                    jnp.einsum("bnc,btc->bnt", q_rows, kt).astype(jnp.float32)
+                    * scale
+                )  # (B, N, n_tok)
+            else:
+                qq = jnp.sum(
+                    q_rows.astype(jnp.float32) ** 2, axis=-1, keepdims=True
+                )
+                tt = jnp.sum(kt.astype(jnp.float32) ** 2, axis=-1)
+                inner = jnp.einsum("bnc,btc->bnt", q_rows, kt).astype(
                     jnp.float32
                 )
-                * scale
-            )  # (B, N, n_tok)
+                bins_pre = -(qq + tt[:, None, :] - 2.0 * inner) * scale
             attn = None
         else:
             if self.asm == "dot":
@@ -242,20 +257,21 @@ class DownSampleToken(nn.Module):
         if fused and not self.train:
             # eval: fused energy→softmax→@V, nothing O(M·NT) in HBM
             # (kernels/attn_rows.py)
-            q_sel = ops.gather_by_idx(q_proj, idx)  # (B, M, C)
+            q_sel = ops.gather_by_idx(q_rows, idx)  # (B, M, C)
             x_ds = kernels.attn_rows_pallas(
                 q_sel, k_proj, v_proj, scale,
                 interpret=kernels.interpret_default(),
+                energy_asm=self.asm,
             ).astype(self.dtype)
         elif fused:
             # train: same fused row attention with a flash-style custom
             # VJP — the (B, M, NT) map exists neither forward nor in the
             # autodiff residuals (the XLA recompute used to materialize
             # and save the full f32 map for the backward)
-            q_sel = ops.gather_by_idx(q_proj, idx)  # (B, M, C)
+            q_sel = ops.gather_by_idx(q_rows, idx)  # (B, M, C)
             x_ds = kernels.attn_rows(
                 q_sel, k_proj, v_proj, scale,
-                interpret=kernels.interpret_default(),
+                interpret=kernels.interpret_default(), energy_asm=self.asm,
             ).astype(self.dtype)
         else:
             attn_down = ops.gather_by_idx(attn, idx).astype(self.dtype)
@@ -344,6 +360,59 @@ class DownSampleCarve(nn.Module):
         q = Conv1x1(self.q_out, dtype=self.dtype)(x)
         kk = Conv1x1(self.k_out, dtype=self.dtype)(x)
         v = Conv1x1(self.v_out, dtype=self.dtype)(x)
+
+        # Fused TPU path (mirrors DownSampleGlobal's): the (B, N, N) map
+        # never exists in HBM — score from the streamed kernel (all three
+        # energies via the coefficient + column-bias form), selection on
+        # the (B, N) score, selected rows recomputed by the attn-rows
+        # kernel (custom VJP on the train path; the score itself is
+        # stop-gradient per the reference, models/downsample.py:498-511).
+        from samble_tpu import kernels
+        from samble_tpu.kernels.score import FUSED_IDX_MODES, score_from_colsums
+
+        fused = (
+            kernels.use_pallas()
+            and self.bin_mode == "none"
+            and not self.pe
+            and self.asm in ("dot", "l2", "l2+")
+            and self.idx_mode in (*FUSED_IDX_MODES, "col_sum")
+            and n >= 256
+        )
+        if fused:
+            cm, cf, cc = kernels.sparse_attention_score_fused(
+                jax.lax.stop_gradient(q),
+                jax.lax.stop_gradient(kk),
+                ops.neighbors.knn_normalized(x_f32),
+                self.k, scale, interpret=kernels.interpret_default(),
+                energy_asm=self.asm,
+            )
+            score = jax.lax.stop_gradient(
+                cf if self.idx_mode == "col_sum"
+                else score_from_colsums(cm, cf, cc, self.idx_mode)
+            )
+            if self.boltzmann_enable:
+                idx = _boltzmann_select(
+                    self.make_rng("sampling"), score, self.m,
+                    self.boltzmann_norm_mode, self.boltzmann_t,
+                )
+            else:
+                _, idx = top_k(score, self.m)
+                idx = idx.astype(jnp.int32)
+            q_sel = ops.gather_by_idx(q, idx)
+            rows_fn = kernels.attn_rows if self.train else kernels.attn_rows_pallas
+            x_ds = rows_fn(
+                q_sel, kk, v, scale,
+                interpret=kernels.interpret_default(), energy_asm=self.asm,
+            ).astype(self.dtype)
+            if self.res:
+                x_ds = _res_block(self, x, x_ds, idx, self.ff, self.train)
+            aux = {
+                "attention_point_score": score[:, None],
+                "idx": idx,
+                "bin_prob": None,
+                "k_point_to_choose": None,
+            }
+            return x_ds, idx, None, aux
 
         if self.asm == "dot":
             energy = jnp.einsum("bnc,bmc->bnm", q, kk)
@@ -571,16 +640,23 @@ class DownSampleGlobal(nn.Module):
 
         fused = (
             kernels.use_pallas()
-            and self.asm == "dot"
+            and self.asm in ("dot", "l2", "l2+")
             and self.idx_mode in (*FUSED_IDX_MODES, "col_sum")
             and n >= 256
         )
 
         def _rows(row_idx):
             """Recompute selected softmax rows (B, M', N) — thin slices of
-            the map the fused path never materializes."""
+            the map the fused path never materializes.  The l2 energies use
+            the coefficient + column-bias form (row terms cancel in the
+            softmax; kernels/score.py docstring)."""
+            coef, sgn = {"dot": (1.0, 0.0), "l2": (2.0, -1.0),
+                         "l2+": (-2.0, 1.0)}[self.asm]
             q_sel = ops.gather_by_idx(q, row_idx)
             e = jnp.einsum("bmc,bnc->bmn", q_sel, kk).astype(jnp.float32)
+            if sgn != 0.0:
+                kb = sgn * jnp.sum(kk.astype(jnp.float32) ** 2, axis=-1)
+                e = coef * e + kb[:, None, :]
             return jax.nn.softmax(e * scale, axis=-1).astype(self.dtype)
 
         if fused:
@@ -591,6 +667,7 @@ class DownSampleGlobal(nn.Module):
                 jax.lax.stop_gradient(kk),
                 ops.neighbors.knn_normalized(x_f32),
                 self.k, scale, interpret=kernels.interpret_default(),
+                energy_asm=self.asm,
             )
             score = (cf if self.idx_mode == "col_sum"
                      else score_from_colsums(cm, cf, cc, self.idx_mode))

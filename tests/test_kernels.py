@@ -496,3 +496,73 @@ def test_attn_rows_vjp_matches_xla(dtype):
             np.asarray(bb, np.float32), np.asarray(a, np.float32),
             err_msg=f"d{name}", **tol
         )
+
+
+@pytest.mark.parametrize("energy_asm", ["l2", "l2+"])
+def test_score_kernel_l2_energy_matches_xla(energy_asm):
+    """The l2 energies via coefficient + column bias (kernels/score.py) must
+    reproduce the dense -/+||q-k||^2 softmax column sums exactly (the
+    dropped ||q||^2 row term cancels in softmax)."""
+    from samble_tpu.kernels.score import sparse_attention_score_pallas
+    from samble_tpu.ops import attention as att_ops
+    from samble_tpu.ops import neighbors as nbr
+
+    rng = np.random.default_rng(11)
+    b, n, nt, d, kk = 2, 128, 134, 16, 8
+    q = jnp.asarray(rng.normal(size=(b, n, d)).astype(np.float32))
+    keys = jnp.asarray(rng.normal(size=(b, nt, d)).astype(np.float32))
+    x = jnp.asarray(rng.normal(size=(b, n, 12)).astype(np.float32))
+    nb_idx = nbr.knn_indices(x, kk)
+    scale = 0.25
+
+    cm, cf, cc = sparse_attention_score_pallas(
+        q, keys, nb_idx, scale, interpret=True, energy_asm=energy_asm
+    )
+    # dense reference: full +-l2 energy incl. the row term
+    l2 = att_ops.l2_global(q[:, None], keys[:, None])[:, 0]  # (B, N, NT)
+    energy = (-l2 if energy_asm == "l2" else l2) * scale
+    attn = jax.nn.softmax(energy, axis=-1)
+    mask = nbr.mask_from_idx(nb_idx, n)  # (B, N, N)
+    want_m = jnp.sum(attn[..., :n] * mask, axis=1)
+    want_f = jnp.sum(attn, axis=1)[..., :n]
+    np.testing.assert_allclose(np.asarray(cm), np.asarray(want_m),
+                               rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(cf), np.asarray(want_f),
+                               rtol=2e-5, atol=2e-6)
+
+
+@pytest.mark.parametrize("energy_asm", ["l2", "l2+"])
+def test_attn_rows_l2_energy_matches_xla(energy_asm):
+    """attn_rows with the l2 energies: forward + custom-VJP gradients vs the
+    dense composition."""
+    from samble_tpu.kernels.attn_rows import attn_rows
+    from samble_tpu.ops import attention as att_ops
+
+    rng = np.random.default_rng(12)
+    b, m, nt, d, c = 2, 64, 130, 16, 16
+    q = jnp.asarray(rng.normal(size=(b, m, d)).astype(np.float32))
+    keys = jnp.asarray(rng.normal(size=(b, nt, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, nt, c)).astype(np.float32))
+    wt = jnp.asarray(rng.normal(size=(b, m, c)).astype(np.float32))
+    scale = 0.25
+
+    def loss_k(q, keys, v):
+        return jnp.sum(attn_rows(q, keys, v, scale, True, energy_asm) * wt)
+
+    def loss_r(q, keys, v):
+        l2 = att_ops.l2_global(q[:, None], keys[:, None])[:, 0]
+        e = (-l2 if energy_asm == "l2" else l2) * scale
+        a = jax.nn.softmax(e, axis=-1)
+        return jnp.sum(jnp.einsum("bmn,bnc->bmc", a, v) * wt)
+
+    np.testing.assert_allclose(
+        np.asarray(loss_k(q, keys, v)), np.asarray(loss_r(q, keys, v)),
+        rtol=2e-5,
+    )
+    gk = jax.grad(loss_k, argnums=(0, 1, 2))(q, keys, v)
+    gr = jax.grad(loss_r, argnums=(0, 1, 2))(q, keys, v)
+    for a, b_, name in zip(gk, gr, ("dq", "dk", "dv")):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), rtol=5e-5,
+            atol=5e-5 * max(1.0, float(jnp.abs(b_).max())), err_msg=name,
+        )
