@@ -30,24 +30,32 @@ from samble_tpu.ops.attention import zscore
 
 
 def sort_chunk(scores: jax.Array, num_bins: int, descending: bool = False):
-    """Sort scores and split into ``num_bins`` equal chunks.
+    """Sort scores and split into ``num_bins`` chunks (utils/ops.py:239-259).
 
-    :param scores: (B, H, N); N must be divisible by num_bins (the reference
-        tolerates a ragged last chunk via ``torch.chunk``, utils/ops.py:239-259;
-        static shapes require divisibility — asserted here).
-    :returns: ``(x_chunks, idx_chunks)`` each (num_bins, B, H, N // num_bins)
+    :param scores: (B, H, N)
+    :returns: when N is divisible by num_bins, ``(x_chunks, idx_chunks)``
+        each stacked (num_bins, B, H, N // num_bins); otherwise a ragged
+        pair of chunk LISTS with ``torch.chunk`` semantics — every chunk
+        ``ceil(N / num_bins)`` long except a shorter tail (chunk sizes are
+        Python ints, so the ragged form is still jit-compatible).
     """
     n = scores.shape[-1]
-    assert n % num_bins == 0, "N must be divisible by num_bins for sort_chunk"
     order = jnp.argsort(-scores if descending else scores, axis=-1)
     x_sorted = jnp.take_along_axis(scores, order, axis=-1)
-    chunk = n // num_bins
-    x_chunks = jnp.stack(
-        [x_sorted[..., i * chunk : (i + 1) * chunk] for i in range(num_bins)]
-    )
-    idx_chunks = jnp.stack(
-        [order[..., i * chunk : (i + 1) * chunk] for i in range(num_bins)]
-    )
+    if n % num_bins == 0:
+        chunk = n // num_bins
+        x_chunks = jnp.stack(
+            [x_sorted[..., i * chunk : (i + 1) * chunk] for i in range(num_bins)]
+        )
+        idx_chunks = jnp.stack(
+            [order[..., i * chunk : (i + 1) * chunk] for i in range(num_bins)]
+        )
+        return x_chunks, idx_chunks
+    chunk = -(-n // num_bins)  # ceil — torch.chunk's split rule
+    bounds = [(i * chunk, min((i + 1) * chunk, n)) for i in range(num_bins)
+              if i * chunk < n]
+    x_chunks = [x_sorted[..., a:b] for a, b in bounds]
+    idx_chunks = [order[..., a:b] for a, b in bounds]
     return x_chunks, idx_chunks
 
 

@@ -138,6 +138,11 @@ def train_modelnet(
     maybe_init_distributed(cfg)
     os.makedirs(workdir, exist_ok=True)
     seed = _seed_from_config(cfg)
+    # persist the EFFECTIVE seed into the saved run config: the
+    # eval-determinism convention derives every eval sampling/vote
+    # key from it (fold_in(key(seed+2), batch)), so a resurrected
+    # test CLI must see the same value, not the wall-clock fallback
+    cfg.set_dotted("train.ddp.random_seed", seed)
     rng = jax.random.key(seed)
 
     train_set, test_set = _load_modelnet(cfg, synthetic_data)
@@ -307,6 +312,11 @@ def train_shapenet(
     maybe_init_distributed(cfg)  # before any backend-initializing jax call
     os.makedirs(workdir, exist_ok=True)
     seed = _seed_from_config(cfg)
+    # persist the EFFECTIVE seed into the saved run config: the
+    # eval-determinism convention derives every eval sampling/vote
+    # key from it (fold_in(key(seed+2), batch)), so a resurrected
+    # test CLI must see the same value, not the wall-clock fallback
+    cfg.set_dotted("train.ddp.random_seed", seed)
     rng = jax.random.key(seed)
 
     train_set, test_set = _load_shapenet(cfg, synthetic_data)
@@ -426,6 +436,13 @@ def train_shapenet(
             "train/mIoU": train_miou,
             "train/epoch_time_s": time.time() - t0,
         }
+        if "stn_ortho_residual" in out:
+            # shared-STN-front guard (train/step.py): drift away from
+            # orthogonality would invalidate the shared pre-transform
+            # kNN graph — keep it visible in every epoch record
+            epoch_metrics["train/stn_ortho_residual"] = float(
+                out["stn_ortho_residual"]
+            )
 
         if (epoch + 1) % val_freq == 0:
             use_vote = vote_enable and (epoch + 1) >= int(vote_cfg.vote_start_epoch)

@@ -108,6 +108,18 @@ def make_train_step(
         out = {"loss": loss, "preds": jnp.argmax(logits, axis=-1)}
         if task == "seg":
             out["ds_idx"] = [a["idx"] for a in aux["downsample"]]
+            if aux.get("trans") is not None:
+                # ‖I − AᵀA‖_F guard for the shared STN/EdgeConv#0 front:
+                # the shared kNN graph is built on PRE-transform xyz, which
+                # is exact only while the STN stays near-orthogonal
+                # (models/seg_model.py share_stn_front).  Logged per epoch
+                # so drift out of that regime is visible, not silent.
+                t = aux["trans"].astype(jnp.float32)
+                eye = jnp.eye(t.shape[-1], dtype=jnp.float32)
+                res = eye[None] - jnp.einsum("bij,bkj->bik", t, t)
+                out["stn_ortho_residual"] = jnp.mean(
+                    jnp.sqrt(jnp.sum(res * res, axis=(1, 2)))
+                )
         return new_state, out
 
     return jax.jit(train_step, donate_argnums=(0,) if donate else ())

@@ -116,6 +116,13 @@ def test_restored_eval_matches_in_train_val(tmp_path):
     best_in_train = max(val_accs)
     assert best_in_train == pytest.approx(result["best_acc"])
 
+    # the saved run config must carry the EFFECTIVE seed (the cls.yaml
+    # default is the reference's wall-clock fallback, seed 0): every eval
+    # sampling/vote key derives from it, so a resurrected test CLI in a
+    # fresh process depends on this persisted value
+    run_cfg = json.load(open(os.path.join(workdir, "run_config.json")))
+    assert int(run_cfg["train"]["ddp"]["random_seed"]) != 0
+
     ckpt_dir = os.path.join(workdir, "checkpoints")
     ev = evaluate_modelnet(cfg, ckpt_dir, str(tmp_path / "eval"),
                            synthetic_data=True)

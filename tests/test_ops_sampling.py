@@ -132,3 +132,27 @@ def test_fps_spreads_points():
     x_ds, idx2 = ops.fps(jax.random.key(0), jnp.asarray(xyz), jnp.asarray(xyz), 4)
     assert x_ds.shape == (1, 4, 3)
     assert len(set(np.asarray(idx2)[0].tolist())) == 4
+
+
+def test_sort_chunk_ragged_matches_torch_chunk_semantics():
+    """N not divisible by num_bins: torch.chunk semantics (utils/ops.py:
+    239-259) — ceil-sized chunks with a shorter tail, as a ragged list."""
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    scores = jnp.asarray(rng.normal(size=(2, 1, 10)).astype(np.float32))
+    x_chunks, idx_chunks = ops.sort_chunk(scores, 4)
+    assert isinstance(x_chunks, list)
+    assert [c.shape[-1] for c in x_chunks] == [3, 3, 3, 1]
+    flat = np.concatenate([np.asarray(c) for c in x_chunks], axis=-1)
+    np.testing.assert_array_equal(flat, np.sort(np.asarray(scores), axis=-1))
+    # indices recover the sorted values
+    for xc, ic in zip(x_chunks, idx_chunks):
+        np.testing.assert_array_equal(
+            np.take_along_axis(np.asarray(scores), np.asarray(ic), axis=-1),
+            np.asarray(xc),
+        )
+    # bins == 4 but only ceil fits in 3 chunks: num_bins=4 over N=7 gives
+    # ceil=2 → chunks [2,2,2,1]; over N=4 with 6 bins torch yields 4 chunks
+    xc, _ = ops.sort_chunk(jnp.ones((1, 1, 4)), 6)
+    assert [c.shape[-1] for c in xc] == [1, 1, 1, 1]

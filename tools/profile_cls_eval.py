@@ -112,10 +112,17 @@ def time_eval(module, example_args, tag, results, bs, extra_rngs=("sampling",)):
 
 
 def main():
+    global N, M
     ap = argparse.ArgumentParser()
     ap.add_argument("--bs", type=int, default=256)
+    ap.add_argument("--n", type=int, default=None,
+                    help="points per cloud (default 1024; e.g. 4096 for the "
+                         "high-res config — M scales to [n//2, n//4])")
     args = ap.parse_args()
     bs = args.bs
+    if args.n:
+        N = args.n
+        M = [N // 2, N // 4]
 
     cfg = _cfg()
     blk = cfg.feature_learning_block
