@@ -219,8 +219,7 @@ def bench_train_step(n_points, m_schedule, bs, dtype):
     example = (np.zeros((bs, n_points, 3), np.float32),)
     state = create_train_state(model_train, example, tx, jax.random.key(0))
     augment = make_batch_augment(cfg.train.dataloader.data_augmentation)
-    step = make_train_step(model_train, cfg, "cls", 40, augment_fn=augment,
-                           donate=False)
+    step = make_train_step(model_train, cfg, "cls", 40, augment_fn=augment)
     rng = np.random.default_rng(2)
     points = jax.device_put(rng.normal(size=(bs, n_points, 3)).astype(np.float32))
     label = jax.device_put(rng.integers(0, 40, bs).astype(np.int32))
@@ -264,8 +263,7 @@ def bench_seg_train_step(n_points, bs, dtype):
                np.zeros((bs, 16), np.float32))
     state = create_train_state(model, example, tx, jax.random.key(0))
     augment = make_batch_augment(cfg.train.dataloader.data_augmentation)
-    step = make_train_step(model, cfg, "seg", 50, augment_fn=augment,
-                           donate=False)
+    step = make_train_step(model, cfg, "seg", 50, augment_fn=augment)
     rng = np.random.default_rng(2)
     pts = jax.device_put(rng.normal(size=(bs, n_points, 3)).astype(np.float32))
     seg = jax.device_put(rng.integers(0, 50, (bs, n_points)).astype(np.int32))
@@ -400,6 +398,30 @@ def bench_kernels():
     _log(f"# kernel score: rel_err={err:.2e} xla={t_x*1e3:.2f}ms "
          f"pallas={t_p*1e3:.2f}ms speedup={t_x/t_p:.2f}x")
     return out
+
+
+def _bench_p2p_l2(dtype):
+    """Round-5 variant row: Point2PointAttention feature learning + l2
+    token downsampler, both on the tiled row-streamed kernels
+    (kernels/p2p.py, kernels/score.py energy_asm) — the config family that
+    previously materialized (B, H, N, N) f32 maps."""
+    import jax
+    import numpy as np
+
+    _, _, model_eval, variables = _build_cls(
+        [
+            "feature_learning_block.downsample.M=[512,256]",
+            "feature_learning_block.downsample.asm=[l2,l2]",
+            "feature_learning_block.attention.fl_which=p2p",
+            "feature_learning_block.attention.asm=[l2,l2,l2]",
+        ],
+        1024, dtype,
+    )
+    forward = _forward_fn(model_eval, variables)
+    rng = np.random.default_rng(6)
+    points = jax.device_put(rng.normal(size=(128, 1024, 3)).astype(np.float32))
+    dt = _timeit_chained(forward, points)
+    return 128 / dt, 128
 
 
 def _bench_apes(dtype):
@@ -544,6 +566,10 @@ def _extra_registry():
             ("clouds_per_sec", "batch_size"),
             (lambda r: (round(r[0], 2), r[1]))(_bench_apes(dtype)[:2]),
         )),
+        "p2p_l2_1024": lambda: dict(zip(
+            ("clouds_per_sec", "batch_size"),
+            (lambda r: (round(r[0], 2), r[1]))(_bench_p2p_l2(dtype)[:2]),
+        )),
         "cls_2048": lambda: dict(zip(
             ("clouds_per_sec", "batch_size"),
             (lambda r: (round(r[0], 2), r[1]))(
@@ -583,6 +609,7 @@ EXTRA_ORDER = (
     "cls_2048",
     "seg_2048",
     "apes_global_1024",
+    "p2p_l2_1024",
     "kernels",
     "cls_4096",
 )

@@ -122,6 +122,11 @@ def edgeconv_pallas(u, w, idx, w2, b2, alpha: float = 0.2,
         out_specs=pl.BlockSpec((1, tile, c2), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bsz, n_pad, c2), u.dtype),
+        compiler_params=pltpu.CompilerParams(
+            # the selection pool + unrolled one-hots exceed the 16 MB
+            # default scoped-vmem stack at N=4096 (measured 17.53 MB)
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(u, w, idx, w2, b2)
     return out[:, :n]
@@ -236,6 +241,11 @@ def edgeconv_knn_pallas(u, w, xn, knn_k: int, w2, b2, alpha: float = 0.2,
         out_specs=pl.BlockSpec((1, tile, c2), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bsz, n_pad, c2), u.dtype),
+        compiler_params=pltpu.CompilerParams(
+            # the selection pool + unrolled one-hots exceed the 16 MB
+            # default scoped-vmem stack at N=4096 (measured 17.53 MB)
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(xn, xn, u, w, w2, b2)
     return out[:, :n]

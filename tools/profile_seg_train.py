@@ -198,23 +198,28 @@ def main():
 
     from samble_tpu.nn.common import Conv1x1, PointBatchNorm, leaky_relu
 
+    # mirrors the REAL model head (models/seg_model.py:220-255): pooled BN
+    # (bn_leaky_pool) + the split-kernel broadcast-concat conv — profiling
+    # the naive reference composition here overstated the head by ~4 ms
+    from samble_tpu.models.seg_model import _BroadcastConcatConv1x1
+    from samble_tpu.nn.common import bn_leaky_pool
+
     class Head(nn.Module):
         dtype = DTYPE
 
         @nn.compact
         def __call__(self, x_tmp, cat_oh):
-            b, n, _ = x_tmp.shape
             h = Conv1x1(1024, dtype=DTYPE)(x_tmp)
-            h = PointBatchNorm(use_running_average=False, dtype=DTYPE)(h)
-            h = leaky_relu(h)
-            g = jnp.concatenate([jnp.max(h, 1), jnp.mean(h, 1)], -1)
+            bn_g = PointBatchNorm(use_running_average=False, dtype=DTYPE)
+            h_max, h_avg = bn_leaky_pool(
+                lambda um=None: bn_g(raw_features=1024, update_moments=um),
+                h, axis=1, train=True, mean_pool=True,
+            )
             c = Conv1x1(64, dtype=DTYPE)(cat_oh)
             c = PointBatchNorm(use_running_average=False, dtype=DTYPE)(c)
             c = leaky_relu(c)
-            g = jnp.concatenate([g, c], -1)
-            g = jnp.broadcast_to(g[:, None, :], (b, n, g.shape[-1]))
-            h = jnp.concatenate([g, x_tmp.astype(g.dtype)], -1)
-            h = Conv1x1(1024, dtype=DTYPE)(h)
+            g = jnp.concatenate([h_max, h_avg, c], -1)
+            h = _BroadcastConcatConv1x1(1024, dtype=DTYPE)(g, x_tmp)
             h = PointBatchNorm(use_running_average=False, dtype=DTYPE)(h)
             h = leaky_relu(h)
             h = nn.Dropout(0.5, deterministic=False)(h)
