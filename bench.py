@@ -592,6 +592,11 @@ def _extra_registry():
                 bench_train_step(2048, [1024, 512], 32, dtype)[0], 2
             )
         },
+        "train_step_cls_4096": lambda: {
+            "clouds_per_sec": round(
+                bench_train_step(4096, [2048, 1024], 16, dtype)[0], 2
+            )
+        },
         "train_step_seg_2048": lambda: {
             "clouds_per_sec": round(
                 bench_seg_train_step(2048, 32, dtype)[0], 2
@@ -612,6 +617,7 @@ EXTRA_ORDER = (
     "p2p_l2_1024",
     "kernels",
     "cls_4096",
+    "train_step_cls_4096",
 )
 
 # the kernel microbench compiles many small programs (two impls × two

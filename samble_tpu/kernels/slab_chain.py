@@ -621,6 +621,202 @@ def _bwd_scatter_pallas(w_nb, u, idx, s1, b1, w2, zmax, zmin,
       c0.reshape(1, -1), c1v.reshape(1, -1))
 
 
+def _bwd_merged_kernel(wnb_ref, u_ref, idx_ref, s1_ref, b1_ref, w2_ref,
+                       zmax_ref, zmin_ref, dmax_ref, dmin_ref,
+                       dsum_ref, dsq_ref,
+                       dwc_ref, umix_ref, du_ref, srow_ref,
+                       dw2_ref, ds1_ref, db1_ref,
+                       *, knn_k: int, alpha: float):
+    """Merged backward: ONE kernel, two k-sweeps.
+
+    Sweep 1 recomputes z per chunk for the max/min tie counts (jnp.max
+    even-split semantics) and row-sums the slab (srow = Σ_k w_nb).  Sweep 2
+    recomputes the chain once, accumulates every parameter/moment sum
+    (dw2, ds1, db1, du_lin) and scatters TWO right-hand sides through the
+    same per-chunk selection matrix:
+
+      * the chain cotangent  da·s1        → dwc   (B, N, C1)
+      * the constant block   [u | 1 | 0]  → umix  (B, N, 128):
+        umix[..., :C1] = Σ_{pairs→m} u[t]  (uscat),
+        umix[..., C1]  = indegree(m).
+
+    The BN1 moment correction (c0 + c1·g per pair) is closed OUTSIDE in
+    XLA via  Σ_{pairs→m}(c0 + c1⊙g) = indeg·c0 + c1⊙(indeg·w[m] + uscat)
+    — exact because the gathered value of every pair targeting m IS w[m].
+    Vs the B1+B2 split this deletes one full chain-recompute sweep and the
+    cmx/cmn/dmax_u/dmin_u HBM round-trips; the extra umix matmul rides the
+    MXU lane padding (C1=64 → the 128-lane tile was half empty anyway).
+    """
+    from samble_tpu.kernels.gather import _sel_chunk
+
+    i, j = pl.program_id(0), pl.program_id(1)
+    tile, c1 = u_ref.shape[1], u_ref.shape[2]
+    c2 = w2_ref.shape[1]
+    n = dwc_ref.shape[1]
+    mix_w = umix_ref.shape[2]
+    ck = _chunk_k(knn_k)
+
+    u = u_ref[0].astype(jnp.float32)
+    idx = idx_ref[0]
+    s1 = s1_ref[0].astype(jnp.float32)
+    b1 = b1_ref[0].astype(jnp.float32)
+    w2d = w2_ref[...].astype(wnb_ref.dtype)
+    zmax = zmax_ref[0]
+    zmin = zmin_ref[0]
+    dmax = dmax_ref[0].astype(jnp.float32)
+    dmin = dmin_ref[0].astype(jnp.float32)
+    dsum = dsum_ref[0, 0].astype(jnp.float32)
+    dsq = dsq_ref[0, 0].astype(jnp.float32)
+
+    # sweep 1: tie counts + slab row sums
+    cmx = jnp.zeros((tile, c2), jnp.float32)
+    cmn = jnp.zeros((tile, c2), jnp.float32)
+    srow = jnp.zeros((tile, c1), jnp.float32)
+    for k0 in range(0, knn_k, ck):
+        wnb = wnb_ref[0, k0:k0 + ck].astype(jnp.float32)
+        srow = srow + jnp.sum(wnb, axis=0)
+        y = _leaky((wnb + u[None]) * s1[None, None] + b1[None, None], alpha)
+        z = jax.lax.dot_general(
+            y.reshape(ck * tile, c1).astype(wnb_ref.dtype), w2d,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(ck, tile, c2)
+        cmx = cmx + jnp.sum((z == zmax[None]).astype(jnp.float32), axis=0)
+        cmn = cmn + jnp.sum((z == zmin[None]).astype(jnp.float32), axis=0)
+    srow_ref[0] = srow
+    dmax_u = dmax / jnp.maximum(cmx, 1.0)
+    dmin_u = dmin / jnp.maximum(cmn, 1.0)
+
+    # cotangent-independent scatter rhs: [u | 1 | 0-pad], built once
+    one_col = (jax.lax.broadcasted_iota(jnp.int32, (tile, mix_w - c1), 1)
+               == 0).astype(jnp.float32)
+    u_pad = jnp.concatenate([u, one_col], axis=1)  # (TILE, MIXW) f32
+    u_rep = jnp.broadcast_to(u_pad[None], (ck, tile, mix_w)).reshape(
+        ck * tile, mix_w).astype(wnb_ref.dtype)
+
+    # sweep 2: route + all accumulations + both scatters
+    du_acc = jnp.zeros((tile, c1), jnp.float32)
+    dw2_acc = jnp.zeros((c1, c2), jnp.float32)
+    ds1_acc = jnp.zeros((1, c1), jnp.float32)
+    db1_acc = jnp.zeros((1, c1), jnp.float32)
+    dwc_acc = jnp.zeros((n, c1), jnp.float32)
+    umix_acc = jnp.zeros((n, mix_w), jnp.float32)
+    for k0 in range(0, knn_k, ck):
+        g = wnb_ref[0, k0:k0 + ck].astype(jnp.float32) + u[None]
+        a = g * s1[None, None] + b1[None, None]
+        y = _leaky(a, alpha)
+        yf = y.reshape(ck * tile, c1).astype(wnb_ref.dtype)
+        z = jax.lax.dot_general(
+            yf, w2d, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(ck, tile, c2)
+        dz = (
+            (z == zmax[None]).astype(jnp.float32) * dmax_u[None]
+            + (z == zmin[None]).astype(jnp.float32) * dmin_u[None]
+            + dsum[None, None]
+            + 2.0 * z * dsq[None, None]
+        )
+        dzf = dz.reshape(ck * tile, c2).astype(wnb_ref.dtype)
+        dy = jax.lax.dot_general(
+            dzf, w2d, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(ck, tile, c1)
+        dw2_acc = dw2_acc + jax.lax.dot_general(
+            yf, dzf, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        da = dy * jnp.where(a >= 0, 1.0, alpha)
+        das1 = da * s1[None, None]
+        du_acc = du_acc + jnp.sum(das1, axis=0)
+        ds1_acc = ds1_acc + jnp.sum(da * g, axis=(0, 1))[None]
+        db1_acc = db1_acc + jnp.sum(da, axis=(0, 1))[None]
+        sel = _sel_chunk(k0, ck, idx, n, wnb_ref.dtype)
+        dwc_acc = dwc_acc + jax.lax.dot_general(
+            sel, das1.reshape(ck * tile, c1).astype(wnb_ref.dtype),
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        umix_acc = umix_acc + jax.lax.dot_general(
+            sel, u_rep, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    du_ref[0] = du_acc
+
+    @pl.when(j == 0)
+    def _():
+        dwc_ref[0] = jnp.zeros_like(dwc_ref[0])
+        umix_ref[0] = jnp.zeros_like(umix_ref[0])
+
+    dwc_ref[0] += dwc_acc
+    umix_ref[0] += umix_acc
+
+    @pl.when((i == 0) & (j == 0))
+    def _():
+        dw2_ref[...] = jnp.zeros_like(dw2_ref)
+        ds1_ref[0] = jnp.zeros_like(ds1_ref[0])
+        db1_ref[0] = jnp.zeros_like(db1_ref[0])
+
+    dw2_ref[...] += dw2_acc
+    ds1_ref[0] += ds1_acc
+    db1_ref[0] += db1_acc
+
+
+@functools.partial(jax.jit, static_argnames=("alpha", "interpret"))
+def _bwd_merged_pallas(w_nb, u, idx, s1, b1, w2, zmax, zmin,
+                       dmax, dmin, dsum, dsq, alpha: float,
+                       interpret: bool = False):
+    bsz, knn_k, n, c1 = w_nb.shape
+    c2 = w2.shape[1]
+    tile = _tile_for(n)
+    mix_w = 128 if c1 < 128 else c1 + 8
+    grid = (bsz, n // tile)
+    kern = functools.partial(_bwd_merged_kernel, knn_k=knn_k, alpha=alpha)
+    row = lambda i, j: (i, j, 0)
+    bsp = lambda shp, im: pl.BlockSpec(shp, im, memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            bsp((1, knn_k, tile, c1), lambda i, j: (i, 0, j, 0)),
+            bsp((1, tile, c1), row),
+            bsp((1, tile, knn_k), row),
+            bsp((1, c1), lambda i, j: (0, 0)),
+            bsp((1, c1), lambda i, j: (0, 0)),
+            bsp((c1, c2), lambda i, j: (0, 0)),
+            bsp((1, tile, c2), row),
+            bsp((1, tile, c2), row),
+            bsp((1, tile, c2), row),
+            bsp((1, tile, c2), row),
+            bsp((1, 1, c2), lambda i, j: (i, 0, 0)),
+            bsp((1, 1, c2), lambda i, j: (i, 0, 0)),
+        ],
+        out_specs=[
+            bsp((1, n, c1), lambda i, j: (i, 0, 0)),      # dwc
+            bsp((1, n, mix_w), lambda i, j: (i, 0, 0)),   # umix
+            bsp((1, tile, c1), row),                      # du_lin
+            bsp((1, tile, c1), row),                      # srow
+            bsp((c1, c2), lambda i, j: (0, 0)),           # dw2
+            bsp((1, 1, c1), lambda i, j: (0, 0, 0)),      # ds1
+            bsp((1, 1, c1), lambda i, j: (0, 0, 0)),      # db1
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bsz, n, c1), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, n, mix_w), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, n, c1), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, n, c1), jnp.float32),
+            jax.ShapeDtypeStruct((c1, c2), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1, c1), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1, c1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(w_nb, u, idx, s1.reshape(1, -1), b1.reshape(1, -1), w2, zmax, zmin,
+      dmax, dmin, dsum[:, None], dsq[:, None])
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
 def slab_chain_knn(w, u, xn, gamma1, beta1, w2, knn_k: int,
                    alpha: float = 0.2, interpret: bool = False,
@@ -644,6 +840,20 @@ def slab_chain_knn(w, u, xn, gamma1, beta1, w2, knn_k: int,
                     axis_name)[0]
 
 
+def _use_merged_bwd() -> bool:
+    # Default 'split' (B1 stats + B2 scatter): the merged single-kernel
+    # backward was measured SLOWER on TPU — same-session A/B on the full
+    # cls train step (bs=64, N=1024, bf16): split 1179.6 clouds/s, merged
+    # 1121.3.  The extra umix selection matmul (128-lane rhs vs the 64-wide
+    # chain cotangent) costs more than the deleted chain-recompute sweep —
+    # the scatter matmul's N-wide output makes any ADDED scatter rhs ~16x
+    # the price of the z/dy chain matmuls it saves (docs/kernels.md,
+    # round-5 memo).  Kept selectable for the record: SAMBLE_SLAB_BWD=merged.
+    import os
+
+    return os.environ.get("SAMBLE_SLAB_BWD", "split") == "merged"
+
+
 def _knn_fwd(w, u, xn, gamma1, beta1, w2, knn_k, alpha, interpret,
              axis_name):
     from samble_tpu.kernels.gather import _gather_knn_pallas
@@ -662,24 +872,34 @@ def _knn_fwd(w, u, xn, gamma1, beta1, w2, knn_k, alpha, interpret,
         w_nb, u, s1, b1, w2, alpha, interpret
     )
     out = (zmax, zmin, zsum, zsq, mu1, var1)
-    return out, (w_nb, idx, u, s1, b1, w2, mu1, var1, zmax, zmin)
+    return out, (w, w_nb, idx, u, s1, b1, w2, mu1, var1, zmax, zmin)
 
 
 def _knn_bwd(knn_k, alpha, interpret, axis_name, res, cts):
-    w_nb, idx, u, s1, b1, w2, mu1, var1, zmax, zmin = res
+    w, w_nb, idx, u, s1, b1, w2, mu1, var1, zmax, zmin = res
     # mu1/var1 cotangents are intentionally dropped (docstring contract)
     dmax, dmin, dsum, dsq = (c.astype(jnp.float32) for c in cts[:4])
     k = w_nb.shape[1]
     p = w_nb.shape[0] * k * w_nb.shape[2]
+    merged = _use_merged_bwd()
 
-    du_lin, srow, dw2, ds1, db1, cmx, cmn = _bwd_stats_pallas(
-        w_nb, u, s1, b1, w2, zmax, zmin, dmax, dmin, dsum, dsq,
-        alpha, interpret,
-    )
+    if merged:
+        (dwc, umix, du_lin, srow, dw2, ds1, db1) = _bwd_merged_pallas(
+            w_nb, u, idx, s1, b1, w2, zmax, zmin, dmax, dmin, dsum, dsq,
+            alpha, interpret,
+        )
+        c1_dim = w_nb.shape[3]
+        uscat = umix[..., :c1_dim]
+        indeg = umix[..., c1_dim]  # (B, N)
+    else:
+        du_lin, srow, dw2, ds1, db1, cmx, cmn = _bwd_stats_pallas(
+            w_nb, u, s1, b1, w2, zmax, zmin, dmax, dmin, dsum, dsq,
+            alpha, interpret,
+        )
+        dmax_u = dmax / jnp.maximum(cmx, 1.0)
+        dmin_u = dmin / jnp.maximum(cmn, 1.0)
     ds1 = ds1[0, 0]
     db1 = db1[0, 0]
-    dmax_u = dmax / jnp.maximum(cmx, 1.0)
-    dmin_u = dmin / jnp.maximum(cmn, 1.0)
 
     # closed-form BatchNorm moment backward; global across shards
     ds1_g, db1_g, p_g = ds1, db1, p
@@ -692,10 +912,19 @@ def _knn_bwd(knn_k, alpha, interpret, axis_name, res, cts):
     c1v = 2.0 * d_var / p_g
     c0 = d_mu / p_g - 2.0 * mu1 * d_var / p_g
 
-    dw = _bwd_scatter_pallas(
-        w_nb, u, idx, s1, b1, w2, zmax, zmin, dmax_u, dmin_u,
-        dsum, dsq, c0, c1v, alpha, interpret,
-    )
+    if merged:
+        # moment-path scatter closed analytically: every pair targeting
+        # point m gathered exactly w[m], so
+        #   Σ_{pairs→m}(c0 + c1⊙g) = indeg·c0 + c1⊙(indeg·w[m] + uscat)
+        dw = (dwc
+              + indeg[..., None] * (c0[None, None]
+                                    + c1v[None, None] * w.astype(jnp.float32))
+              + c1v[None, None] * uscat)
+    else:
+        dw = _bwd_scatter_pallas(
+            w_nb, u, idx, s1, b1, w2, zmax, zmin, dmax_u, dmin_u,
+            dsum, dsq, c0, c1v, alpha, interpret,
+        )
     # du = Σ_k dg = du_lin + K·c0 + c1·(K·u + Σ_k w_nb)
     du = (du_lin + k * c0[None, None]
           + c1v[None, None] * (k * u.astype(jnp.float32) + srow))

@@ -44,12 +44,14 @@ from samble_tpu.kernels.score import (
 from samble_tpu.utils.profiling import timeit_chained
 
 BS = 256
+SKIP_SWEEP = False
 NUM_BINS = 6
 KNN_K = 32
 DT = jnp.bfloat16
 
 
 def probe_layer(n: int, m: int):
+    global BS
     print(f"\n=== DownSampleToken @N={n} -> M={m}, bs={BS} ===", flush=True)
     rng = np.random.default_rng(0)
     c = 128
@@ -91,9 +93,12 @@ def probe_layer(n: int, m: int):
     from samble_tpu.kernels import keys as keys_mod
 
     orig = keys_mod.kth_smallest_key_fast
-    for rounds in (8, 12):
-        keys_mod.kth_smallest_key_fast = functools.partial(orig,
-                                                           bisect_rounds=rounds)
+    for rounds in (() if SKIP_SWEEP else (8, 12)):
+        # force the round budget whether the caller passes it positionally
+        # or by keyword (kernels/score.py passes it positionally)
+        keys_mod.kth_smallest_key_fast = (
+            lambda key, k, *a, _o=orig, _r=rounds, **kw: _o(key, k, _r)
+        )
         try:
             t(f"score kernel (bisect {rounds})",
               lambda q_, k_, xn_: sparse_attention_score_fused.__wrapped__(
@@ -195,8 +200,20 @@ def probe_layer(n: int, m: int):
 
 
 def main():
-    probe_layer(1024, 512)
-    probe_layer(512, 256)
+    global BS
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--train-seg", action="store_true",
+                    help="probe the seg TRAIN DS shapes (bs=32, 2048->1024)")
+    args = ap.parse_args()
+    if args.train_seg:
+        global SKIP_SWEEP
+        BS = 32
+        SKIP_SWEEP = True
+        probe_layer(2048, 1024)
+    else:
+        probe_layer(1024, 512)
+        probe_layer(512, 256)
 
 
 if __name__ == "__main__":
