@@ -78,8 +78,10 @@ def _round_up(x: int, mult: int) -> int:
 
 def _tile_for(n: int) -> int:
     """Row-tile width: 128 when it divides N, else 64, else N itself — the
-    chosen tile always divides N, so the wrappers never row-pad.  Packed-key
-    index width still follows keys.py's contract
+    chosen tile always divides N, so the wrappers never row-pad (256-row
+    tiles A/B'd at N=4096 in round 5: u8/t256 224.8 vs u16/t128 226.6
+    clouds/s — the wider tile lost to the deeper unroll).  Packed-key index
+    width still follows keys.py's contract
     (``packing_bits(round_up(N, 128))``) for bit-identity with knn_pallas."""
     return 128 if n % 128 == 0 else (64 if n % 64 == 0 else n)
 
@@ -158,14 +160,16 @@ def _edgeconv_knn_kernel(xa_ref, xb_ref, u_ref, w_ref, w2_ref, b2_ref,
     acc0 = jnp.full((tile, w2.shape[1]), -jnp.inf, jnp.float32)
     u_f = u.astype(jnp.float32)
 
-    # Partially-unrolled extraction: a full K=32 unroll (two matmuls per
-    # round, full-width pool live throughout) exceeds Mosaic's compile-time
-    # resources at N=2048, while a fully-rolled fori_loop serializes the
-    # per-round matmuls (measured 29 ms vs ~16 ms at B=128, N=1024).  An
-    # 8-wide body inside a short fori_loop keeps both compile size and ILP;
-    # the unroll budget shrinks with the row width (8-wide still blows the
-    # compiler at N=4096).
-    budget = max(1, (16 * 1024) // w.shape[0])
+    # Partially-unrolled extraction: the unrolled rounds let Mosaic overlap
+    # each round's selection/chain matmuls with the next round's VPU passes,
+    # while a fully-rolled fori_loop serializes them (measured 29 ms vs
+    # ~16 ms at B=128, N=1024).  The round-3 budget (16 KB of row width,
+    # i.e. unroll 4 at N=4096) was set when deeper unrolls blew Mosaic's
+    # compile-time resources; with the 64 MB scoped-vmem limit below the
+    # 16-wide body now compiles at every shipped width and is the measured
+    # optimum (round-5 A/B at N=4096, bs=32: unroll 4 → 210.6, 8 → 220.2,
+    # 16 → 226.6 clouds/s whole-step).
+    budget = max(1, (int(__import__('os').environ.get('SAMBLE_EC_UNROLL_KB', 64)) * 1024) // w.shape[0])
     unroll = next(u for u in (16, 8, 4, 2, 1) if u <= budget and knn_k % u == 0)
 
     def round_(_, carry):

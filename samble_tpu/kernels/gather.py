@@ -29,6 +29,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _tile_for(n: int) -> int:
+    t = int(__import__('os').environ.get('SAMBLE_GATHER_TILE', 128))
+    if t > 128 and n % t == 0:
+        return t
     return 128 if n % 128 == 0 else (64 if n % 64 == 0 else n)
 
 
@@ -237,12 +240,17 @@ def _gather_knn_kernel(xa_ref, xb_ref, w_ref, out_ref, idx_ref,
 
     pool0 = keys_mod.packed_key_tile(xa_ref[0], xb_ref[0], idx_bits, m_valid)
 
-    # partial unroll: full K unrolls blow Mosaic's compile budget at large
-    # N with wide live state (docs/kernels.md compiler lessons); the
-    # 4-wide body at N=4096 also needs the raised scoped-vmem limit set on
-    # the pallas_call below (17.1M stack vs the 16M default)
-    budget = max(1, (16 * 1024) // w.shape[0])
-    unroll = next(u for u in (8, 4, 2, 1) if u <= budget and knn_k % u == 0)
+    # partial unroll: overlaps each round's selection matmul with the next
+    # round's pool passes.  Round 5 raised the budget from 16 KB to 64 KB of
+    # row width (unroll 8 → 16 at the train shapes) once the raised
+    # scoped-vmem limit let the deeper bodies compile — measured on the full
+    # train steps: seg@2048 259.8 → 264.3, cls@1024 1179.6 → 1200.0
+    # clouds/s (same-session A/Bs, docs/kernels.md round-5 memo)
+    budget = max(1, (int(__import__('os').environ.get(
+        'SAMBLE_GATHER_UNROLL_KB', 64)) * 1024) // w.shape[0])
+    umax = int(__import__('os').environ.get('SAMBLE_GATHER_UNROLL_MAX', 16))
+    unroll = next(u for u in (32, 16, 8, 4, 2, 1)
+                  if u <= min(budget, umax) and knn_k % u == 0)
 
     slot = jax.lax.broadcasted_iota(jnp.int32, (tile, knn_k), 1)
 
