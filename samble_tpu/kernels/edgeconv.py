@@ -169,8 +169,10 @@ def _edgeconv_knn_kernel(xa_ref, xb_ref, u_ref, w_ref, w2_ref, b2_ref,
     # 16-wide body now compiles at every shipped width and is the measured
     # optimum (round-5 A/B at N=4096, bs=32: unroll 4 → 210.6, 8 → 220.2,
     # 16 → 226.6 clouds/s whole-step).
-    budget = max(1, (int(__import__('os').environ.get('SAMBLE_EC_UNROLL_KB', 64)) * 1024) // w.shape[0])
-    unroll = next(u for u in (16, 8, 4, 2, 1) if u <= budget and knn_k % u == 0)
+    budget = max(1, (int(__import__('os').environ.get('SAMBLE_EC_UNROLL_KB', 128)) * 1024) // w.shape[0])
+    umax = int(__import__('os').environ.get('SAMBLE_EC_UNROLL_MAX', 32))
+    unroll = next(u for u in (32, 16, 8, 4, 2, 1)
+                  if u <= min(budget, umax) and knn_k % u == 0)
 
     def round_(_, carry):
         pool, acc = carry

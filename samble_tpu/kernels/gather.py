@@ -248,7 +248,7 @@ def _gather_knn_kernel(xa_ref, xb_ref, w_ref, out_ref, idx_ref,
     # clouds/s (same-session A/Bs, docs/kernels.md round-5 memo)
     budget = max(1, (int(__import__('os').environ.get(
         'SAMBLE_GATHER_UNROLL_KB', 64)) * 1024) // w.shape[0])
-    umax = int(__import__('os').environ.get('SAMBLE_GATHER_UNROLL_MAX', 16))
+    umax = int(__import__('os').environ.get('SAMBLE_GATHER_UNROLL_MAX', 32))
     unroll = next(u for u in (32, 16, 8, 4, 2, 1)
                   if u <= min(budget, umax) and knn_k % u == 0)
 
