@@ -137,6 +137,12 @@ def _n2p_pallas_fwd(q, k, v, idx, heads, scale, negate, subtract_v,
         out_specs=pl.BlockSpec((1, tile, hdv), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bsz, n_pad, hdv), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            # the fused bwd's per-cell live set exceeds the 16 MB default
+            # scoped-vmem stack at N=4096 (21.7 MB measured — the
+            # train_step_cls_4096 bench row compile failure, round 5)
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(q, k, v, v, idx)
     return out[:, :n]
@@ -257,6 +263,12 @@ def _n2p_pallas_bwd(q, k, v, idx, g, heads, scale, negate, subtract_v,
             jax.ShapeDtypeStruct((bsz, n_pad, hdq), jnp.float32),
             jax.ShapeDtypeStruct((bsz, n_pad, hdv), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            # the fused bwd's per-cell live set exceeds the 16 MB default
+            # scoped-vmem stack at N=4096 (21.7 MB measured — the
+            # train_step_cls_4096 bench row compile failure, round 5)
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(q, k, v, g, idx)
     return dq[:, :n], dk[:, :n], dv[:, :n]
@@ -444,6 +456,12 @@ def _n2p_fused_pallas_fwd(q, k, v, xn, heads, scale, negate, subtract_v,
             jax.ShapeDtypeStruct((bsz, n_pad, hdv), q.dtype),
             jax.ShapeDtypeStruct((bsz, n_pad, 1), jnp.int32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            # the fused bwd's per-cell live set exceeds the 16 MB default
+            # scoped-vmem stack at N=4096 (21.7 MB measured — the
+            # train_step_cls_4096 bench row compile failure, round 5)
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(xn, xn, q, k, v, v)
     return out[:, :n], kth[:, :n, 0]
@@ -558,6 +576,12 @@ def _n2p_fused_pallas_bwd(q, k, v, xn, kth, g, heads, scale, negate,
             jax.ShapeDtypeStruct((bsz, n_pad, hdq), jnp.float32),
             jax.ShapeDtypeStruct((bsz, n_pad, hdv), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            # the fused bwd's per-cell live set exceeds the 16 MB default
+            # scoped-vmem stack at N=4096 (21.7 MB measured — the
+            # train_step_cls_4096 bench row compile failure, round 5)
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(xn, xn, kth, q, k, v, g)
     return dq[:, :n], dk[:, :n], dv[:, :n]
